@@ -1,0 +1,144 @@
+import numpy as np
+import pytest
+
+from ltesniffer_tpu.phy import dci, ra, search_space, tables
+from ltesniffer_tpu.phy.params import CellConfig
+
+
+CELL50 = CellConfig(n_id_cell=1, n_prb=50, nof_ports=2)
+CELL100 = CellConfig(n_id_cell=1, n_prb=100, nof_ports=2)
+
+
+def test_format_sizes_50prb_2ports():
+    s = dci.format_sizes(CELL50)
+    # 10 MHz reference sizes (well-known FALCON/OWL values)
+    assert s["0"] == 27 and s["1A"] == 27
+    assert s["1"] == 31
+    assert s["1C"] == 13
+    assert s["2"] == 43
+    assert s["2A"] == 41   # raw 40 is ambiguous -> 41
+    assert s["1B"] == 28 and s["1D"] == 28
+    assert s["2B"] == 41
+
+
+def test_format_sizes_100prb_2ports():
+    s = dci.format_sizes(CELL100)
+    riv = ra.riv_nbits(100)   # ceil(log2(5050)) = 13
+    assert riv == 13
+    assert s["1A"] == 28 and s["0"] == 28
+    assert s["1"] == 1 + 25 + 5 + 3 + 1 + 2 + 2   # = 39
+
+
+def test_riv_roundtrip():
+    for n in (6, 15, 25, 50, 100):
+        for start, length in ((0, 1), (0, n), (3, 5), (n - 1, 1), (n // 2, n // 2)):
+            if start + length > n:
+                continue
+            riv = ra.start_len_to_riv(start, length, n)
+            s, l = ra.riv_to_start_len(riv, n)
+            assert (s, l) == (start, length), (n, start, length, riv)
+
+
+def test_type0_bitmap_roundtrip():
+    n = 50
+    mask = np.zeros(n, dtype=bool)
+    mask[0:3] = True     # RBG 0 (P=3)
+    mask[48:50] = True   # last (short) RBG
+    bm = ra.mask_to_type0_bitmap(mask)
+    np.testing.assert_array_equal(ra.type0_bitmap_to_mask(bm, n), mask)
+
+
+def test_dci_pack_unpack_roundtrip():
+    d = dci.Dci(fmt="1A", rnti=0x1234, fields=dict(
+        flag0_1a=1, vrb_flag=0, riv=ra.start_len_to_riv(5, 10, 50),
+        mcs=17, harq_pid=3, ndi=1, rv=2, tpc=1))
+    bits = dci.pack(d, CELL50)
+    assert len(bits) == 27
+    back = dci.unpack(bits, "1A", CELL50, rnti=0x1234)
+    for k, v in d.fields.items():
+        assert back[k] == v, k
+
+
+def test_format0_1a_resolution():
+    d0 = dci.Dci(fmt="0", rnti=1, fields=dict(flag0_1a=0, riv=1, mcs=3))
+    d1a = dci.Dci(fmt="1A", rnti=1, fields=dict(flag0_1a=1, riv=1, mcs=3))
+    assert dci.resolve_format(dci.pack(d0, CELL50), "0") == "0"
+    assert dci.resolve_format(dci.pack(d1a, CELL50), "1A") == "1A"
+
+
+def test_dl_grant_from_format1_type0():
+    bm = ra.mask_to_type0_bitmap(np.arange(50) < 6)
+    d = dci.Dci(fmt="1", rnti=70, fields=dict(
+        ra_header=0, bitmap=bm, mcs=9, harq_pid=1, ndi=0, rv=0, tpc=0))
+    g = dci.dl_grant_from_dci(d, CELL50)
+    assert g.n_prb_alloc == 6
+    assert g.nof_tb == 1 and g.mcs == 9
+
+
+def test_dl_grant_from_format1a_localized():
+    d = dci.Dci(fmt="1A", rnti=70, fields=dict(
+        flag0_1a=1, vrb_flag=0, riv=ra.start_len_to_riv(10, 4, 50), mcs=5))
+    g = dci.dl_grant_from_dci(d, CELL50)
+    assert g.prb_mask[10:14].all() and g.n_prb_alloc == 4
+
+
+def test_ul_grant_from_format0():
+    d = dci.Dci(fmt="0", rnti=70, fields=dict(
+        flag0_1a=0, hopping=0, riv=ra.start_len_to_riv(8, 25, 50),
+        mcs=20, ndi=1, dmrs_cs=2, cqi_request=0))
+    g = dci.ul_grant_from_dci(d, CELL50)
+    assert (g.prb_start, g.n_prb) == (8, 25)
+    assert ra.valid_dft_prb(g.n_prb)
+    assert not ra.valid_dft_prb(7)
+
+
+def test_format1c_prbs_within_band():
+    for n in (25, 50, 100):
+        prb0, prb1, length = ra.format1c_prbs(0, n)
+        assert length >= 2
+        assert prb0.max() < n and prb1.max() < n
+        assert len(set(prb0.tolist())) == len(prb0)
+
+
+def test_tbs_table_anchors():
+    t = tables.tbs_table()
+    # exact 1-PRB column
+    np.testing.assert_array_equal(t[:27, 0], tables.TBS_1PRB)
+    # monotone along both axes
+    assert (np.diff(t, axis=0) >= 0).all()
+    assert (np.diff(t, axis=1) >= 0).all()
+    # all entries are zero-filler-compatible sizes
+    allowed = set(tables.allowed_tbs_set().tolist())
+    assert set(np.unique(t).tolist()) <= allowed
+
+
+def test_qpp_permutations_valid():
+    coeffs = tables.qpp_coefficients()
+    ks = tables.turbo_k_sizes()
+    assert len(ks) == 188
+    assert coeffs[40] == (3, 10) and coeffs[6144] == (263, 480)
+    for k in (40, 48, 512, 528, 1024, 1056, 2048, 2112, 6144):
+        pi = tables.qpp_interleave_indices(k)
+        assert len(np.unique(pi)) == k
+
+
+def test_search_space_yk_and_validation():
+    nof_cce = 42  # 50 PRB cfi 2 ballpark
+    rnti, sf = 0x3D_5, 3
+    cands = search_space.ue_candidates(rnti, sf, nof_cce)
+    assert all(ncce % (1 << l) == 0 for l, ncce in cands)
+    assert all(ncce + (1 << l) <= nof_cce for l, ncce in cands)
+    # every UE candidate validates at its own (l, ncce)
+    for l, ncce in cands:
+        assert search_space.validate_location(nof_cce, ncce, l, sf, rnti) >= 1
+    # SI-RNTI lives in the common space only
+    assert search_space.validate_location(nof_cce, 0, 3, sf, 0xFFFF) >= 1
+    assert search_space.validate_location(nof_cce, 20, 3, sf, 0xFFFF) == 0
+
+
+def test_all_locations_cap_and_order():
+    locs = search_space.all_locations(84)
+    assert len(locs) <= 160
+    assert locs[0][0] == 3  # L=8 first
+    ls = [l for l, _ in locs]
+    assert ls == sorted(ls, reverse=True)
