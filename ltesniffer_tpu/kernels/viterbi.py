@@ -28,11 +28,11 @@ from ltesniffer_tpu.phy import conv
 
 @functools.lru_cache(maxsize=1)
 def _tables():
+    # NumPy constants only — converting to jnp inside a jit trace and caching
+    # the result would leak tracers across traces.
     t = conv.trellis_tables()
     signs = (1.0 - 2.0 * t["out_bits"].astype(np.float32))   # (64, 2, 3)
-    return (jnp.asarray(signs),
-            jnp.asarray(t["pred"]),
-            jnp.asarray(t["pred_bit"]))
+    return signs, t["pred"], t["pred_bit"]
 
 
 def viterbi_decode_tb(llrs, wrap: int = 32):
@@ -48,7 +48,10 @@ def viterbi_decode_tb(llrs, wrap: int = 32):
     B, three, D = llrs.shape
     assert three == 3
     w = min(wrap, D)
-    signs, pred, pred_bit = _tables()
+    signs_np, pred_np, pred_bit_np = _tables()
+    signs = jnp.asarray(signs_np)
+    pred = jnp.asarray(pred_np)
+    pred_bit = jnp.asarray(pred_bit_np)
 
     # circular extension: [tail w | body D | head w]
     ext = jnp.concatenate([llrs[:, :, D - w:], llrs, llrs[:, :, :w]], axis=-1)

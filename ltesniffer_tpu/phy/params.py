@@ -42,9 +42,8 @@ def sample_rate(n_rb: int) -> float:
 
 def cp_lengths(n_fft: int) -> Tuple[int, ...]:
     """Normal-CP lengths (samples) for the 7 symbols of one slot."""
-    base = n_fft // 2048
-    first = 160 * base
-    rest = 144 * base
+    first = 160 * n_fft // 2048
+    rest = 144 * n_fft // 2048
     return (first,) + (rest,) * 6
 
 

@@ -1,0 +1,142 @@
+"""Batched device-side PDCCH blind-decode pipeline.
+
+The TPU half of the FALCON blind search: where the reference walks the CCE
+tree sequentially, decoding candidates on demand
+(`src/src/DCISearch.cc:449-528`), this pipeline decodes *every* location at
+*every* payload size for a whole batch of subframes in one jitted call:
+
+  samples -> OFDM demod -> CRS chest -> PDCCH RE gather -> SFBC/port0
+  equalize -> QPSK LLRs -> per-CCE power -> {per payload-size D:
+  de-rate-match (constant-matrix matmul) -> batched Viterbi -> payload bits
+  + CRC-XOR RNTIs}
+
+The host-side acceptance resolver (`dci_search.py`) then replays the
+reference's sequential pruning semantics over these precomputed results.
+
+All index maps are compile-time constants derived from (cell, cfi).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ltesniffer_tpu.phy import conv, crc, dci as dci_mod, grid as grid_mod
+from ltesniffer_tpu.phy import search_space
+from ltesniffer_tpu.phy.params import CellConfig
+from ltesniffer_tpu.kernels import chest, demapper, ofdm, viterbi
+
+
+@functools.lru_cache(maxsize=16)
+def _static_maps(cell: CellConfig, cfi: int):
+    """All constant index maps for one (cell, cfi)."""
+    reg = grid_mod.control_region(cell, cfi)
+    nof_cce = reg["nof_pdcch_regs"] // 9
+    gather_idx = grid_mod.pdcch_llr_gather_index(cell, cfi)     # (4*m_quad,)
+    locs = search_space.all_locations(nof_cce)                   # ((l, ncce)..)
+    sizes = dci_mod.format_sizes(cell)
+    # distinct payload sizes -> formats sharing them
+    by_size: Dict[int, list] = {}
+    for f in dci_mod.FORMATS:
+        by_size.setdefault(sizes[f] + 16, []).append(f)   # D includes CRC16
+    # per size D: candidate LLR gather (n_loc, E_max) + de-RM matmul (E_max, 3D)
+    size_maps = {}
+    for D, fmts in sorted(by_size.items()):
+        cand_gather = []
+        cand_mats = []
+        for (l, ncce) in locs:
+            E = 72 * (1 << l)
+            g = 72 * ncce + np.arange(E, dtype=np.int64)
+            maps = conv.rate_match_maps(D, E)
+            W = np.zeros((E, 3 * D), dtype=np.float32)
+            W[np.arange(E), maps["e_to_d"]] = 1.0
+            cand_gather.append(g)
+            cand_mats.append(W)
+        size_maps[D] = {"formats": tuple(fmts), "gather": cand_gather,
+                        "mats": cand_mats}
+    return {
+        "nof_cce": nof_cce,
+        "gather_idx": gather_idx,
+        "locs": locs,
+        "sizes": sizes,
+        "size_maps": size_maps,
+        "n_sc": cell.n_sc,
+    }
+
+
+@functools.lru_cache(maxsize=16)
+def make_pipeline(cell: CellConfig, cfi: int):
+    """Build the jitted per-batch PDCCH decode function.
+
+    Returned fn: (samples (B, RX, sf_len) c64, sf_idx (B,) i32) -> dict of
+      snr_db (B,), noise_var (B,), cce_power (B, nof_cce),
+      and per payload size D: bits_{D} (B, n_loc, D), rnti_{D} (B, n_loc).
+    """
+    st = _static_maps(cell, cfi)
+    nof_cce = st["nof_cce"]
+    locs = st["locs"]
+    n_loc = len(locs)
+    gather_idx = jnp.asarray(st["gather_idx"])
+    # descrambling signs per subframe index (+1 for bit 0, -1 for bit 1)
+    scr = np.stack([
+        1.0 - 2.0 * grid_mod.pdcch_scrambling(cell, sf, 72 * nof_cce)
+        for sf in range(10)]).astype(np.float32)
+    scr_j = jnp.asarray(scr)                                     # (10, 72*nof_cce)
+    # group candidates by aggregation level for uniform-shape gathers
+    lvl_of = np.array([l for (l, _) in locs])
+    size_consts = {}
+    for D, m in st["size_maps"].items():
+        per_lvl = {}
+        for l in range(4):
+            sel = np.nonzero(lvl_of == l)[0]
+            if len(sel) == 0:
+                continue
+            g = np.stack([m["gather"][i] for i in sel])          # (n_l, E)
+            W = m["mats"][sel[0]]                                 # same for all
+            per_lvl[l] = (sel, jnp.asarray(g), jnp.asarray(W))
+        size_consts[D] = per_lvl
+
+    use_sfbc = cell.nof_ports >= 2
+
+    @jax.jit
+    def run(samples, sf_idx):
+        grids = ofdm.demodulate(samples, cell)                   # (B,RX,14,n_sc)
+        B = grids.shape[0]
+        ch = chest.estimate(grids, sf_idx, cell)
+        h = ch["h"]                                              # (B,RX,P,14,n_sc)
+        gflat = grids.reshape(B, grids.shape[1], -1)
+        hflat = h.reshape(B, h.shape[1], h.shape[2], -1)
+        y = gflat[..., gather_idx]                               # (B,RX,M)
+        hh = hflat[..., gather_idx]                              # (B,RX,P,M)
+        if use_sfbc:
+            x = chest.equalize_sfbc(y, hh, ch["noise_var"])      # (B,M)
+        else:
+            x = chest.equalize_port0(y, hh[:, :, 0], ch["noise_var"])
+        llr = demapper.qpsk_llr(x) * scr_j[sf_idx]               # (B, 72*nof_cce)
+        cce_power = jnp.mean(
+            jnp.abs(llr).reshape(B, nof_cce, 72), axis=-1)       # (B, nof_cce)
+
+        out = {"snr_db": ch["snr_db"], "noise_var": ch["noise_var"],
+               "cce_power": cce_power, "cfo": jnp.zeros((B,), jnp.float32)}
+        for D, per_lvl in size_consts.items():
+            d_llrs = jnp.zeros((B, n_loc, 3 * D), dtype=jnp.float32)
+            for l, (sel, g, W) in per_lvl.items():
+                cand = llr[:, g.reshape(-1)].reshape(B, len(sel), -1)  # (B,n_l,E)
+                d = jnp.einsum("bne,ek->bnk", cand, W)            # (B,n_l,3D)
+                d_llrs = d_llrs.at[:, jnp.asarray(sel)].set(d)
+            # e_to_d maps into stream-major (3, D) flat layout
+            flat = d_llrs.reshape(B * n_loc, 3, D)
+            bits = viterbi.viterbi_decode_tb(flat)                # (B*n_loc, D)
+            bits = bits.reshape(B, n_loc, D)
+            payload = bits[..., :D - 16]
+            calc = crc.batched_crc_to_int(payload, crc.CRC16)
+            w16 = jnp.asarray([1 << (15 - i) for i in range(16)], jnp.int32)
+            rx16 = jnp.sum(bits[..., D - 16:].astype(jnp.int32) * w16, axis=-1)
+            out[f"bits_{D}"] = bits
+            out[f"rnti_{D}"] = (calc ^ rx16).astype(jnp.int32)
+        return out
+
+    return run, st

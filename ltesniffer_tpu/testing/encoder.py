@@ -1,0 +1,134 @@
+"""Test-side LTE downlink transmitter (NumPy).
+
+Synthesizes eNodeB subframes — CRS, PSS/SSS, PCFICH, PDCCH (and later PDSCH)
+— so the sniffer pipeline can be validated end-to-end without recorded IQ,
+formalizing the verification strategy the reference lacks (SURVEY.md §4).
+
+This module is intentionally an *independent* implementation path from the RX
+kernels: it maps bits to the grid directly from the spec text, while the RX
+side inverts precomputed index maps; agreement between the two is the test.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence
+
+import numpy as np
+
+from ltesniffer_tpu.phy import conv, crc, dci as dci_mod, grid as grid_mod
+from ltesniffer_tpu.phy import modulation, sequences
+from ltesniffer_tpu.phy.params import CellConfig, N_SYM_SF
+from ltesniffer_tpu.kernels import ofdm
+
+
+@dataclasses.dataclass
+class TxDci:
+    dci: dci_mod.Dci
+    L: int         # aggregation level exponent l (0..3) -> 2^l CCEs
+    ncce: int
+
+
+def _sfbc_precode(x: np.ndarray):
+    """36.211 6.3.4.3 2-port SFBC: symbols x (even length) -> (2, len) per-port."""
+    x0, x1 = x[0::2], x[1::2]
+    p0 = np.empty_like(x)
+    p1 = np.empty_like(x)
+    p0[0::2], p0[1::2] = x0, x1
+    p1[0::2], p1[1::2] = -np.conj(x1), np.conj(x0)
+    return np.stack([p0, p1]) / np.sqrt(2.0)
+
+
+def build_control_subframe(cell: CellConfig, sf_idx: int, cfi: int,
+                           tx_dcis: Sequence[TxDci]) -> np.ndarray:
+    """Build per-port TX resource grids (ports, 14, n_sc) for one subframe."""
+    n_sc = cell.n_sc
+    ports = cell.nof_ports
+    g = np.zeros((ports, N_SYM_SF, n_sc), dtype=np.complex64)
+
+    # --- CRS ---------------------------------------------------------------
+    mask, vals = sequences.crs_grid(cell.n_id_cell, sf_idx, cell.n_prb, ports)
+    for p in range(ports):
+        g[p][mask[p]] = vals[p][mask[p]]
+
+    # --- PSS / SSS (subframes 0 and 5, last two symbols of slot 0) ---------
+    if sf_idx in (0, 5):
+        center = n_sc // 2
+        kidx = np.arange(-31, 31) + center  # 62 subcarriers around DC
+        pss = sequences.pss_sequence(cell.n_id_2)
+        sss = sequences.sss_sequence(cell.n_id_1, cell.n_id_2, sf_idx == 5)
+        g[0, 6, kidx] += pss
+        g[0, 5, kidx] += sss.astype(np.complex64)
+
+    # --- PCFICH ------------------------------------------------------------
+    reg = grid_mod.control_region(cell, cfi)
+    cw = grid_mod.cfi_codeword(cfi) ^ grid_mod.pcfich_scrambling(cell, sf_idx)
+    syms = modulation.modulate(cw, 2)          # 16 QPSK symbols
+    if ports >= 2:
+        per_port = _sfbc_precode(syms)
+    else:
+        per_port = syms[None, :]
+    for qi, r in enumerate(reg["pcfich_regs"]):
+        for j, k in enumerate(r.res):
+            for p in range(min(ports, 2)):
+                g[p, r.l, k] = per_port[p, 4 * qi + j]
+
+    # --- PDCCH -------------------------------------------------------------
+    m_quad = reg["nof_pdcch_regs"]
+    nof_cce = m_quad // 9
+    total_bits = 72 * nof_cce
+    bits = np.zeros(total_bits, dtype=np.uint8)
+    active = np.zeros(total_bits, dtype=bool)
+    for t in tx_dcis:
+        payload = dci_mod.pack(t.dci, cell)
+        coded = crc.attach_crc(payload, crc.CRC16, mask=t.dci.rnti)
+        e = conv.rate_match(conv.conv_encode_tb(coded), 72 * (1 << t.L))
+        a, b = 72 * t.ncce, 72 * t.ncce + len(e)
+        bits[a:b] = e
+        active[a:b] = True
+    scr = grid_mod.pdcch_scrambling(cell, sf_idx, total_bits)
+    bits = bits ^ scr
+    syms = modulation.modulate(bits, 2)
+    syms = np.where(active[0::2] | active[1::2], syms, 0.0)  # NIL CCEs: no power
+    if ports >= 2:
+        per_port = _sfbc_precode(syms)
+        # zero power stays zero under SFBC pairing (pairs are CCE-aligned)
+    else:
+        per_port = syms[None, :]
+    tx_map, _ = grid_mod.pdcch_interleave_maps(cell, cfi)
+    for j, r in enumerate(reg["pdcch_regs"]):
+        q = tx_map[j]          # quadruplet index in CCE order
+        for jj, k in enumerate(r.res):
+            for p in range(min(ports, 2)):
+                g[p, r.l, k] = per_port[p, 4 * q + jj]
+    return g
+
+
+def apply_channel(tx_grids: np.ndarray, h: np.ndarray, noise_std: float,
+                  rng: np.random.Generator) -> np.ndarray:
+    """tx_grids (P, 14, n_sc) x h (RX, P, 14, n_sc) + AWGN -> (RX, 14, n_sc)."""
+    rx = np.einsum("rpls,pls->rls", h, tx_grids)
+    noise = (rng.standard_normal(rx.shape) + 1j * rng.standard_normal(rx.shape))
+    return (rx + noise_std / np.sqrt(2.0) * noise).astype(np.complex64)
+
+
+def flat_channel(cell: CellConfig, nof_rx: int, rng: np.random.Generator,
+                 selective: bool = True) -> np.ndarray:
+    """Random mildly frequency-selective channel (RX, P, 14, n_sc)."""
+    P = cell.nof_ports
+    n_sc = cell.n_sc
+    if not selective:
+        h0 = (rng.standard_normal((nof_rx, P)) + 1j * rng.standard_normal((nof_rx, P))) / np.sqrt(2.0)
+        h = np.broadcast_to(h0[:, :, None, None], (nof_rx, P, N_SYM_SF, n_sc))
+        return h.astype(np.complex64)
+    # two-tap channel -> smooth frequency ripple
+    taps = (rng.standard_normal((nof_rx, P, 2)) + 1j * rng.standard_normal((nof_rx, P, 2)))
+    taps = taps / np.sqrt(4.0)
+    k = np.arange(n_sc) / n_sc
+    h = taps[..., 0:1] + taps[..., 1:2] * np.exp(-2j * np.pi * 3 * k)[None, None, :]
+    h = np.broadcast_to(h[:, :, None, :], (nof_rx, P, N_SYM_SF, n_sc))
+    return h.astype(np.complex64)
+
+
+def subframe_iq(cell: CellConfig, rx_grids: np.ndarray) -> np.ndarray:
+    """(RX, 14, n_sc) grids -> (RX, sf_len) time-domain samples."""
+    return np.stack([ofdm.modulate_np(gr, cell) for gr in rx_grids])
