@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -111,7 +112,12 @@ def estimate(grid, sf_idx, cell: CellConfig):
     k_pos, values = crs_constants(cell)
     wf, wt = interp_matrices(cell)
     k_pos_j = jnp.asarray(k_pos)           # (P, 4, n2)
-    vals = jnp.asarray(values)[sf_idx]     # (B, P, 4, n2)
+    # complex64 gather by a traced index is unimplemented on the axon TPU
+    # backend: gather real/imag planes as float32 and recombine.
+    vals_ri = jnp.asarray(
+        np.stack([values.real, values.imag], axis=-1).astype(np.float32))
+    vri = vals_ri[sf_idx]                  # (B, P, 4, n2, 2)
+    vals = jax.lax.complex(vri[..., 0], vri[..., 1])
     wf_j = jnp.asarray(wf)
     wt_j = jnp.asarray(wt)
 

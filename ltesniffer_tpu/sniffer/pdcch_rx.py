@@ -79,12 +79,17 @@ def make_pipeline(cell: CellConfig, cfi: int):
     nof_cce = st["nof_cce"]
     locs = st["locs"]
     n_loc = len(locs)
-    gather_idx = jnp.asarray(st["gather_idx"])
+    # NOTE: all closure-captured constants stay NumPy (int32/float32): the
+    # axon TPU backend fails (UNIMPLEMENTED) when resharding captured device
+    # arrays, while NumPy constants embed into the program cleanly.
+    gather_idx = st["gather_idx"].astype(np.int32)
+    # full PDCCH stream length incl. NIL-padded tail quadruplets
+    m_quad = len(st["gather_idx"]) // 4
+    n_bits_tot = 8 * m_quad
     # descrambling signs per subframe index (+1 for bit 0, -1 for bit 1)
-    scr = np.stack([
-        1.0 - 2.0 * grid_mod.pdcch_scrambling(cell, sf, 72 * nof_cce)
-        for sf in range(10)]).astype(np.float32)
-    scr_j = jnp.asarray(scr)                                     # (10, 72*nof_cce)
+    scr_j = np.stack([
+        1.0 - 2.0 * grid_mod.pdcch_scrambling(cell, sf, n_bits_tot)
+        for sf in range(10)]).astype(np.float32)                 # (10, 8*m_quad)
     # group candidates by aggregation level for uniform-shape gathers
     lvl_of = np.array([l for (l, _) in locs])
     size_consts = {}
@@ -94,9 +99,9 @@ def make_pipeline(cell: CellConfig, cfi: int):
             sel = np.nonzero(lvl_of == l)[0]
             if len(sel) == 0:
                 continue
-            g = np.stack([m["gather"][i] for i in sel])          # (n_l, E)
+            g = np.stack([m["gather"][i] for i in sel]).astype(np.int32)
             W = m["mats"][sel[0]]                                 # same for all
-            per_lvl[l] = (sel, jnp.asarray(g), jnp.asarray(W))
+            per_lvl[l] = (sel.astype(np.int32), g, W)
         size_consts[D] = per_lvl
 
     use_sfbc = cell.nof_ports >= 2
@@ -115,9 +120,10 @@ def make_pipeline(cell: CellConfig, cfi: int):
             x = chest.equalize_sfbc(y, hh, ch["noise_var"])      # (B,M)
         else:
             x = chest.equalize_port0(y, hh[:, :, 0], ch["noise_var"])
-        llr = demapper.qpsk_llr(x) * scr_j[sf_idx]               # (B, 72*nof_cce)
+        llr = demapper.qpsk_llr(x) * jnp.asarray(scr_j)[sf_idx]  # (B, 8*m_quad)
         cce_power = jnp.mean(
-            jnp.abs(llr).reshape(B, nof_cce, 72), axis=-1)       # (B, nof_cce)
+            jnp.abs(llr[:, :72 * nof_cce]).reshape(B, nof_cce, 72),
+            axis=-1)                                             # (B, nof_cce)
 
         out = {"snr_db": ch["snr_db"], "noise_var": ch["noise_var"],
                "cce_power": cce_power, "cfo": jnp.zeros((B,), jnp.float32)}
@@ -126,7 +132,7 @@ def make_pipeline(cell: CellConfig, cfi: int):
             for l, (sel, g, W) in per_lvl.items():
                 cand = llr[:, g.reshape(-1)].reshape(B, len(sel), -1)  # (B,n_l,E)
                 d = jnp.einsum("bne,ek->bnk", cand, W)            # (B,n_l,3D)
-                d_llrs = d_llrs.at[:, jnp.asarray(sel)].set(d)
+                d_llrs = d_llrs.at[:, sel].set(d)
             # e_to_d maps into stream-major (3, D) flat layout
             flat = d_llrs.reshape(B * n_loc, 3, D)
             bits = viterbi.viterbi_decode_tb(flat)                # (B*n_loc, D)

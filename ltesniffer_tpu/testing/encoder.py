@@ -74,8 +74,7 @@ def build_control_subframe(cell: CellConfig, sf_idx: int, cfi: int,
 
     # --- PDCCH -------------------------------------------------------------
     m_quad = reg["nof_pdcch_regs"]
-    nof_cce = m_quad // 9
-    total_bits = 72 * nof_cce
+    total_bits = 8 * m_quad          # incl. NIL tail (REGs beyond 9*nof_cce)
     bits = np.zeros(total_bits, dtype=np.uint8)
     active = np.zeros(total_bits, dtype=bool)
     for t in tx_dcis:
