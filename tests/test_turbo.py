@@ -1,0 +1,128 @@
+import numpy as np
+import jax.numpy as jnp
+
+from ltesniffer_tpu.phy import crc, tables, turbo
+from ltesniffer_tpu.kernels import turbo as kturbo
+
+
+def test_segmentation_single_block():
+    seg = turbo.segment_sizes(100)
+    assert seg.C == 1 and seg.K[0] >= 124 and seg.F == seg.K[0] - 124
+
+
+def test_segmentation_multi_block():
+    seg = turbo.segment_sizes(20000)
+    assert seg.C == 4   # ceil(20024/6120)
+    assert sum(seg.K) - seg.F == 20024 + 4 * 24
+    for k in seg.K:
+        assert k in set(tables.turbo_k_sizes().tolist())
+
+
+def test_segment_blocks_crc24b():
+    rng = np.random.default_rng(0)
+    tb = rng.integers(0, 2, 7000).astype(np.uint8)
+    seg, blocks = turbo.segment(tb)
+    assert seg.C == 2
+    for blk in blocks:
+        data = np.where(blk == 2, 0, blk)
+        assert crc.crc_bits(data, crc.CRC24B).sum() == 0  # self-checking CRC24B
+
+
+def test_rsc_termination_returns_to_zero():
+    t = turbo.rsc_tables()
+    rng = np.random.default_rng(1)
+    bits = rng.integers(0, 2, 64).astype(np.uint8)
+    s = 0
+    for x in bits:
+        s = int(t["next_state"][s, x])
+    for _ in range(3):
+        x = int(t["term_input"][s])
+        s = int(t["next_state"][s, x])
+    assert s == 0
+
+
+def test_turbo_encode_shapes_and_systematic():
+    rng = np.random.default_rng(2)
+    K = 40
+    blk = rng.integers(0, 2, K).astype(np.uint8)
+    d = turbo.turbo_encode(blk)
+    assert d.shape == (3, K + 4)
+    np.testing.assert_array_equal(d[0, :K], blk)
+
+
+def test_rate_match_roundtrip_positions():
+    K, E = 64, 3 * 68 + 40
+    rng = np.random.default_rng(3)
+    blk = rng.integers(0, 2, K).astype(np.uint8)
+    d = turbo.turbo_encode(blk)
+    e = turbo.rate_match_turbo(d, E, rv=0)
+    pos = turbo.derm_positions(K, 0, E, rv=0)
+    flat = d.reshape(-1)
+    np.testing.assert_array_equal(e, flat[pos])
+
+
+def test_turbo_decode_noiseless():
+    rng = np.random.default_rng(4)
+    K = 40
+    blk = rng.integers(0, 2, K).astype(np.uint8)
+    d = turbo.turbo_encode(blk)
+    llr = (1.0 - 2.0 * d.astype(np.float32))[None]
+    bits, _ = kturbo.decode_blocks(jnp.asarray(llr), n_iter=4)
+    np.testing.assert_array_equal(np.asarray(bits)[0], blk)
+
+
+def test_turbo_decode_with_noise_and_rate_matching():
+    rng = np.random.default_rng(5)
+    K = 512
+    blk = rng.integers(0, 2, K).astype(np.uint8)
+    d = turbo.turbo_encode(blk)
+    E = int(1.2 * 3 * K)
+    e = turbo.rate_match_turbo(d, E, rv=0)
+    tx = 1.0 - 2.0 * e.astype(np.float32)
+    noisy = tx + 0.9 * rng.standard_normal(E).astype(np.float32)
+    d_llr = turbo.de_rate_match_turbo(noisy, K, F=0, rv=0)[None]
+    bits, _ = kturbo.decode_blocks(jnp.asarray(d_llr), n_iter=8)
+    np.testing.assert_array_equal(np.asarray(bits)[0], blk)
+
+
+def test_turbo_decode_with_fillers():
+    rng = np.random.default_rng(6)
+    tbs = 100
+    tb = rng.integers(0, 2, tbs).astype(np.uint8)
+    seg, blocks = turbo.segment(tb)
+    K, F = seg.K[0], seg.F
+    d = turbo.turbo_encode(blocks[0])
+    E = 3 * K
+    e = turbo.rate_match_turbo(d, E, rv=0)
+    llr = 1.0 - 2.0 * e.astype(np.float32)
+    llr += 0.5 * rng.standard_normal(E).astype(np.float32)
+    d_llr = turbo.de_rate_match_turbo(llr, K, F=F, rv=0)[None]
+    bits, _ = kturbo.decode_blocks(jnp.asarray(d_llr), n_iter=6)
+    got = np.asarray(bits)[0]
+    # reconstruct TB: strip fillers, check CRC24A
+    full = np.concatenate([np.zeros(0, np.uint8), got[F:]])
+    tb_crc = crc.attach_crc(tb, crc.CRC24A)
+    np.testing.assert_array_equal(full[:len(tb_crc)], tb_crc)
+
+
+def test_turbo_soft_combining_two_rvs():
+    """HARQ-style: two transmissions at rv0/rv2 combine into one buffer."""
+    rng = np.random.default_rng(7)
+    K = 256
+    blk = rng.integers(0, 2, K).astype(np.uint8)
+    d = turbo.turbo_encode(blk)
+    E = 3 * K // 2   # punctured: single shot at this noise fails
+    noise = 1.2
+    combined = np.zeros((3, K + 4), np.float32)
+    single_errs = []
+    for rv in (0, 2):
+        e = turbo.rate_match_turbo(d, E, rv=rv)
+        tx = 1.0 - 2.0 * e.astype(np.float32)
+        llr = tx + noise * rng.standard_normal(E).astype(np.float32)
+        d_llr = turbo.de_rate_match_turbo(llr, K, F=0, rv=rv)
+        combined += d_llr
+        b, _ = kturbo.decode_blocks(jnp.asarray(d_llr[None]), n_iter=8)
+        single_errs.append(int((np.asarray(b)[0] != blk).sum()))
+    assert all(e > 0 for e in single_errs)   # each rv alone is undecodable
+    bits, _ = kturbo.decode_blocks(jnp.asarray(combined[None]), n_iter=8)
+    np.testing.assert_array_equal(np.asarray(bits)[0], blk)
