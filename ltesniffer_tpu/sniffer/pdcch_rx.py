@@ -126,7 +126,8 @@ def make_pipeline(cell: CellConfig, cfi: int):
             axis=-1)                                             # (B, nof_cce)
 
         out = {"snr_db": ch["snr_db"], "noise_var": ch["noise_var"],
-               "cce_power": cce_power, "cfo": jnp.zeros((B,), jnp.float32)}
+               "cce_power": cce_power, "cfo": jnp.zeros((B,), jnp.float32),
+               "grids": grids, "h": h}   # reused by the PDSCH phase
         for D, per_lvl in size_consts.items():
             d_llrs = jnp.zeros((B, n_loc, 3 * D), dtype=jnp.float32)
             for l, (sel, g, W) in per_lvl.items():

@@ -1,0 +1,154 @@
+"""PDSCH decode path: equalize -> demap -> descramble -> de-rate-match ->
+turbo decode -> CRC, with HARQ soft combining.
+
+Capability parity with the reference's `PDSCH_Decoder::decode_dl_mode`
+(`src/src/DL_Sniffer_PDSCH.cc:881-1291`): per-DCI decode, softbuffer reuse
+for retransmissions, dual-table retry handled by the caller (MCSTracking).
+
+Orchestration model (v1): the heavy per-RE math (gather/equalize/demap/
+descramble via the Gold-basis matmul) and the turbo decoder run as jitted
+device functions, cached per (RE-bucket, Qm) and per K; the thin glue
+(segmentation sizes, scatter positions, CRC checks) is NumPy on host.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ltesniffer_tpu.phy import crc, pdsch as pdsch_mod, sequences, turbo as turbo_mod
+from ltesniffer_tpu.phy.params import CellConfig
+from ltesniffer_tpu.kernels import chest, demapper, turbo as kturbo
+
+RE_BUCKET = 256
+
+
+def _bucket(n: int) -> int:
+    return -(-n // RE_BUCKET) * RE_BUCKET
+
+
+@functools.lru_cache(maxsize=64)
+def _eq_demap_fn(cell: CellConfig, qm: int, n_re_pad: int, use_sfbc: bool):
+    """Jitted: one grant's REs -> descrambled LLRs.
+
+    (grid_flat (RX, L), h_flat (RX, P, L), noise (), re_idx (n_re_pad,) i32,
+     c_init ()) -> llr (n_re_pad * qm,) f32
+    """
+    @jax.jit
+    def run(grid_flat, h_flat, noise_var, re_idx, c_init):
+        y = grid_flat[:, re_idx][None]          # (1, RX, n)
+        hh = h_flat[:, :, re_idx][None]         # (1, RX, P, n)
+        nv = noise_var[None]
+        if use_sfbc:
+            x = chest.equalize_sfbc(y, hh, nv)[0]
+        else:
+            x = chest.equalize_port0(y, hh[:, :, 0], nv)[0]
+        llr = demapper.llr(x, qm)               # (n*qm,)
+        scr = sequences.gold_sequence_jax(c_init, n_re_pad * qm)
+        signs = 1.0 - 2.0 * scr.astype(jnp.float32)
+        return llr * signs
+
+    return run
+
+
+@dataclasses.dataclass
+class PdschResult:
+    rnti: int
+    tbs: int
+    crc_ok: bool
+    tb_bits: Optional[np.ndarray]       # payload without TB CRC (on success)
+    cb_crc_ok: List[bool]
+    d_llrs: List[np.ndarray]            # per-CB (3, K+4) combined LLRs
+    n_re: int = 0
+
+
+def decode_grant(grids, h, noise_var, b: int, cell: CellConfig, sf_idx: int,
+                 cfi: int, rnti: int, prb_mask: np.ndarray, qm: int, tbs: int,
+                 rv: int = 0, prb_mask_slot1: Optional[np.ndarray] = None,
+                 soft_buffers: Optional[Dict] = None,
+                 harq_key: Optional[Tuple] = None,
+                 n_iter: int = 8) -> PdschResult:
+    """Decode one PDSCH grant from subframe ``b`` of a demodulated batch.
+
+    grids: (B, RX, 14, n_sc) jnp; h: (B, RX, P, 14, n_sc); noise_var: (B,).
+    soft_buffers: dict keyed by harq_key holding per-CB (3, K+4) LLR arrays
+    (HARQ combining, reference `HARQ.cc` semantics live in the caller).
+    """
+    re_idx = pdsch_mod.grant_re_indices(cell, sf_idx, cfi, prb_mask,
+                                        prb_mask_slot1)
+    n_re = len(re_idx)
+    G = n_re * qm
+    if tbs <= 0 or n_re == 0:
+        return PdschResult(rnti, tbs, False, None, [], [], n_re)
+    n_pad = _bucket(n_re)
+    idx = np.full(n_pad, re_idx[-1], dtype=np.int32)
+    idx[:n_re] = re_idx
+    c_init = pdsch_mod.scrambling_cinit(rnti, 0, sf_idx, cell.n_id_cell)
+
+    fn = _eq_demap_fn(cell, qm, n_pad, cell.nof_ports >= 2)
+    gflat = grids[b].reshape(grids.shape[1], -1)
+    hflat = h[b].reshape(h.shape[1], h.shape[2], -1)
+    llr = np.asarray(fn(gflat, hflat, noise_var[b], jnp.asarray(idx),
+                        jnp.asarray(np.uint32(c_init))))[:G]
+
+    # --- segmentation + de-rate-match (host) ------------------------------
+    seg = turbo_mod.segment_sizes(tbs)
+    es = pdsch_mod.cb_rate_match_sizes(G, seg.C, qm)
+    d_llrs = []
+    off = 0
+    for ci, (K, E) in enumerate(zip(seg.K, es)):
+        F = seg.F if ci == 0 else 0
+        pos = turbo_mod.derm_positions(K, F, E, rv)
+        d = np.zeros(3 * (K + 4), dtype=np.float32)
+        np.add.at(d, pos, llr[off:off + E])
+        d = d.reshape(3, K + 4)
+        # filler bits are known zeros
+        if F:
+            d[0, :F] = 1e4
+            d[1, :F] = 1e4
+        off += E
+        if soft_buffers is not None and harq_key is not None:
+            buf = soft_buffers.setdefault((harq_key, ci),
+                                          np.zeros_like(d))
+            buf += d
+            d = buf.copy()
+        d_llrs.append(d)
+
+    # --- turbo decode (device, grouped by K) ------------------------------
+    by_k: Dict[int, List[int]] = {}
+    for ci, K in enumerate(seg.K):
+        by_k.setdefault(K, []).append(ci)
+    bits_per_cb: List[Optional[np.ndarray]] = [None] * seg.C
+    for K, cis in by_k.items():
+        batch = jnp.asarray(np.stack([d_llrs[ci] for ci in cis]))
+        bits, _ = kturbo.make_decoder(K, n_iter)(batch)
+        bits = np.asarray(bits)
+        for j, ci in enumerate(cis):
+            bits_per_cb[ci] = bits[j]
+
+    # --- CRC checks + TB assembly ----------------------------------------
+    cb_ok = []
+    payload_parts = []
+    for ci, K in enumerate(seg.K):
+        blk = bits_per_cb[ci]
+        F = seg.F if ci == 0 else 0
+        if seg.C > 1:
+            ok = crc.crc_bits(blk, crc.CRC24B).sum() == 0
+            data = blk[F:K - turbo_mod.SEG_CRC]
+        else:
+            ok = True
+            data = blk[F:]
+        cb_ok.append(bool(ok))
+        payload_parts.append(data)
+    tb_with_crc = np.concatenate(payload_parts)[:seg.B]
+    tb_ok = (all(cb_ok)
+             and crc.crc_bits(tb_with_crc, crc.CRC24A).sum() == 0)
+    tb_bits = tb_with_crc[:tbs] if tb_ok else None
+    if tb_ok and soft_buffers is not None and harq_key is not None:
+        for ci in range(seg.C):
+            soft_buffers.pop((harq_key, ci), None)
+    return PdschResult(rnti, tbs, bool(tb_ok), tb_bits, cb_ok, d_llrs, n_re)

@@ -131,3 +131,47 @@ def flat_channel(cell: CellConfig, nof_rx: int, rng: np.random.Generator,
 def subframe_iq(cell: CellConfig, rx_grids: np.ndarray) -> np.ndarray:
     """(RX, 14, n_sc) grids -> (RX, sf_len) time-domain samples."""
     return np.stack([ofdm.modulate_np(gr, cell) for gr in rx_grids])
+
+
+# ---------------------------------------------------------------------------
+# PDSCH transmitter (test side)
+# ---------------------------------------------------------------------------
+def encode_pdsch_bits(tb_bits: np.ndarray, qm: int, G: int, rv: int = 0):
+    """Transport block -> G rate-matched, concatenated coded bits."""
+    from ltesniffer_tpu.phy import turbo as turbo_mod
+    from ltesniffer_tpu.phy import pdsch as pdsch_mod
+    seg, blocks = turbo_mod.segment(tb_bits)
+    es = pdsch_mod.cb_rate_match_sizes(G, seg.C, qm)
+    out = []
+    for blk, e in zip(blocks, es):
+        d = turbo_mod.turbo_encode(blk)
+        out.append(turbo_mod.rate_match_turbo(d, e, rv=rv))
+    return np.concatenate(out), seg
+
+
+def add_pdsch(g: np.ndarray, cell: CellConfig, sf_idx: int, cfi: int,
+              rnti: int, prb_mask: np.ndarray, qm: int, tb_bits: np.ndarray,
+              rv: int = 0, prb_mask_slot1: np.ndarray | None = None):
+    """Encode and map one PDSCH transport block onto per-port grids ``g``.
+
+    TM1 (1 port) or TM2/SFBC (2 ports).  Returns G (bit capacity used).
+    """
+    from ltesniffer_tpu.phy import pdsch as pdsch_mod
+    from ltesniffer_tpu.phy import sequences as seq_mod
+    re_idx = pdsch_mod.grant_re_indices(cell, sf_idx, cfi, prb_mask,
+                                        prb_mask_slot1)
+    n_re = len(re_idx)
+    G = n_re * qm
+    coded, _seg = encode_pdsch_bits(tb_bits, qm, G, rv)
+    c_init = pdsch_mod.scrambling_cinit(rnti, 0, sf_idx, cell.n_id_cell)
+    scr = seq_mod.gold_sequence(c_init, G)
+    bits = coded ^ scr
+    syms = modulation.modulate(bits, qm)
+    if cell.nof_ports >= 2:
+        per_port = _sfbc_precode(syms)
+    else:
+        per_port = syms[None, :]
+    flat = g.reshape(g.shape[0], -1)
+    for p in range(min(cell.nof_ports, 2)):
+        flat[p, re_idx] = per_port[p]
+    return G
