@@ -1,0 +1,58 @@
+"""Batched subframe frontend: OFDM demod + CRS chest + PCFICH (CFI) detect.
+
+Splitting the frontend from the per-CFI PDCCH search lets the host group
+subframes by detected CFI (CFI changes the control-region shapes, which are
+compile-time constants) while demod/chest run exactly once per subframe.
+
+Replaces `srsran_ue_dl_decode_fft_estimate`'s FFT/chest/PCFICH stage
+(`src/src/DCISearch.cc:562`, SURVEY.md §2.1 ue_dl row).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ltesniffer_tpu.phy import grid as grid_mod
+from ltesniffer_tpu.phy.params import CellConfig
+from ltesniffer_tpu.kernels import chest, demapper, ofdm
+
+
+@functools.lru_cache(maxsize=16)
+def make_frontend(cell: CellConfig):
+    """fn(samples (B, RX, sf_len), sf_idx (B,)) -> dict with
+    grids, h, noise_var, snr_db, rsrp, cfi (B,) int32, cfi_corr (B, 3)."""
+    # PCFICH REs: constant positions (symbol 0)
+    reg = grid_mod.control_region(cell, 1)
+    re_idx = np.array([[r.l * cell.n_sc + k for k in r.res]
+                       for r in reg["pcfich_regs"]],
+                      dtype=np.int32).reshape(-1)              # (16,)
+    scr = np.stack([1.0 - 2.0 * grid_mod.pcfich_scrambling(cell, sf)
+                    for sf in range(10)]).astype(np.float32)   # (10, 32)
+    cw = grid_mod.cfi_codewords_matrix()                       # (3, 32) +-1
+    use_sfbc = cell.nof_ports >= 2
+
+    @jax.jit
+    def run(samples, sf_idx):
+        grids = ofdm.demodulate(samples, cell)
+        B = grids.shape[0]
+        ch = chest.estimate(grids, sf_idx, cell)
+        h = ch["h"]
+        gflat = grids.reshape(B, grids.shape[1], -1)
+        hflat = h.reshape(B, h.shape[1], h.shape[2], -1)
+        y = gflat[..., re_idx]
+        hh = hflat[..., re_idx]
+        if use_sfbc:
+            x = chest.equalize_sfbc(y, hh, ch["noise_var"])
+        else:
+            x = chest.equalize_port0(y, hh[:, :, 0], ch["noise_var"])
+        llr = demapper.qpsk_llr(x) * jnp.asarray(scr)[sf_idx]  # (B, 32)
+        corr = jnp.einsum("bj,cj->bc", llr, cw)                # (B, 3)
+        cfi = 1 + jnp.argmax(corr, axis=-1).astype(jnp.int32)
+        return {"grids": grids, "h": h, "noise_var": ch["noise_var"],
+                "snr_db": ch["snr_db"], "rsrp": ch["rsrp"],
+                "cfi": cfi, "cfi_corr": corr}
+
+    return run

@@ -1,0 +1,154 @@
+"""PBCH / MIB decode (36.211 6.6, 36.212 5.3.1).
+
+Decodes the MIB (bandwidth, PHICH config, SFN MSBs) plus the implicit
+antenna-port count (CRC mask) and 40 ms frame phase (scrambling segment).
+All 8 (frame-phase x port) hypotheses are decoded in one batched Viterbi
+call.  Replaces `srsran_ue_mib_decode` (`src/src/LTESniffer_Core.cc:386`).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ltesniffer_tpu.phy import conv, crc, sequences
+from ltesniffer_tpu.phy.params import CellConfig
+from ltesniffer_tpu.kernels import chest, demapper, viterbi
+
+PBCH_SYMS = (7, 8, 9, 10)      # subframe-0 symbols (slot 1, l=0..3)
+E_FRAME = 480                  # coded bits per radio frame
+E_TOTAL = 1920
+D_MIB = 40                     # 24 MIB + 16 CRC
+
+_ANT_MASK = {1: 0x0000, 2: 0xFFFF, 4: 0x5555}  # 0101.. pattern for 4 ports
+_BW_TABLE = (6, 15, 25, 50, 75, 100)
+_NG_TABLE = (1 / 6, 1 / 2, 1.0, 2.0)
+
+
+def pbch_re_indices(cell: CellConfig) -> np.ndarray:
+    """Flat (l*n_sc + k) indices of the 240 PBCH REs (center 72 sc, minus
+    4-port CRS positions in the first two symbols)."""
+    n_sc = cell.n_sc
+    center = n_sc // 2
+    vshift3 = cell.n_id_cell % 3
+    out = []
+    for i, l in enumerate(PBCH_SYMS):
+        ks = np.arange(center - 36, center + 36)
+        if i < 2:
+            ks = ks[(ks % 3) != vshift3]
+        out.append(l * n_sc + ks)
+    return np.concatenate(out).astype(np.int32)
+
+
+def pack_mib(n_prb: int, phich_ng: float, phich_len: int, sfn: int) -> np.ndarray:
+    """MIB -> 24 bits (36.331 MasterInformationBlock, spare zeroed)."""
+    bw = _BW_TABLE.index(n_prb)
+    ng = _NG_TABLE.index(phich_ng)
+    bits = []
+    bits += [(bw >> (2 - i)) & 1 for i in range(3)]
+    bits.append(phich_len & 1)
+    bits += [(ng >> (1 - i)) & 1 for i in range(2)]
+    msb = (sfn >> 2) & 0xFF
+    bits += [(msb >> (7 - i)) & 1 for i in range(8)]
+    bits += [0] * 10
+    return np.array(bits, dtype=np.uint8)
+
+
+def unpack_mib(bits: np.ndarray):
+    b = [int(x) for x in bits]
+    bw = (b[0] << 2) | (b[1] << 1) | b[2]
+    phich_len = b[3]
+    ng = (b[4] << 1) | b[5]
+    msb = 0
+    for i in range(8):
+        msb = (msb << 1) | b[6 + i]
+    if bw >= len(_BW_TABLE):
+        return None
+    return {"n_prb": _BW_TABLE[bw], "phich_length": phich_len,
+            "phich_ng": _NG_TABLE[ng], "sfn_msb": msb}
+
+
+def encode_pbch(cell_n_id: int, mib_bits: np.ndarray, nof_ports: int) -> np.ndarray:
+    """MIB -> full 1920-bit scrambled PBCH sequence (test TX side)."""
+    coded = crc.attach_crc(mib_bits, crc.CRC16, mask=_ANT_MASK[nof_ports])
+    e = conv.rate_match(conv.conv_encode_tb(coded), E_TOTAL)
+    scr = sequences.gold_sequence(cell_n_id, E_TOTAL)
+    return e ^ scr
+
+
+@dataclasses.dataclass
+class MibResult:
+    ok: bool
+    nof_ports: int = 0
+    frame_phase: int = 0     # 0..3 within the 40 ms PBCH period
+    sfn: int = 0             # full SFN (msb*4 + frame_phase)
+    n_prb: int = 0
+    phich_ng: float = 1.0
+    phich_length: int = 0
+
+
+@functools.lru_cache(maxsize=16)
+def _make_decoder(cell: CellConfig):
+    re_idx = pbch_re_indices(cell)
+    scr = (1.0 - 2.0 * sequences.gold_sequence(cell.n_id_cell, E_TOTAL)
+           ).astype(np.float32)
+    maps = conv.rate_match_maps(D_MIB, E_TOTAL)
+    W = np.zeros((E_TOTAL, 3 * D_MIB), dtype=np.float32)
+    W[np.arange(E_TOTAL), maps["e_to_d"]] = 1.0
+
+    @jax.jit
+    def run(grids, h, noise_var):
+        """One subframe-0: returns decoded bits (8, 40) for hypotheses
+        (port in {1,2} x frame_phase in {0..3})."""
+        y = grids.reshape(grids.shape[0], -1)[None, :, re_idx]       # (1,RX,240)
+        hh = h.reshape(h.shape[0], h.shape[1], -1)[None, :, :, re_idx]
+        nv = noise_var[None]
+        x1 = chest.equalize_port0(y, hh[:, :, 0], nv)[0]             # (240,)
+        x2 = chest.equalize_sfbc(y, hh[:, :, :2], nv)[0] if h.shape[1] >= 2 \
+            else x1
+        rows = []
+        for x in (x1, x2):
+            llr = demapper.qpsk_llr(x)                               # (480,)
+            for f in range(4):
+                full = jnp.zeros(E_TOTAL, jnp.float32)
+                full = full.at[f * E_FRAME:(f + 1) * E_FRAME].set(llr)
+                full = full * scr
+                rows.append(jnp.einsum("e,ek->k", full, W))
+        d = jnp.stack(rows).reshape(8, 3, D_MIB)
+        bits = viterbi.viterbi_decode_tb(d)
+        return bits
+
+    return run
+
+
+def decode_mib(grids_b, h_b, noise_var_b, cell: CellConfig) -> MibResult:
+    """Try to decode the MIB from one subframe-0 grid.
+
+    grids_b: (RX, 14, n_sc); h_b: (RX, P, 14, n_sc); noise_var_b: scalar.
+    """
+    run = _make_decoder(cell)
+    bits = np.asarray(run(jnp.asarray(grids_b), jnp.asarray(h_b),
+                          jnp.asarray(noise_var_b)))
+    for hi in range(8):
+        port_hyp = 1 if hi < 4 else 2
+        f = hi % 4
+        row = bits[hi]
+        rem = crc.crc_bits(row[:24], crc.CRC16) ^ row[24:]
+        mask_val = crc.bits_to_int(rem)
+        # the CRC mask must agree with the equalizer hypothesis
+        allowed = {1: (1,), 2: (2, 4)}[port_hyp]
+        for ports in allowed:
+            m = _ANT_MASK[ports]
+            if mask_val == m:
+                mib = unpack_mib(row[:24])
+                if mib is None:
+                    continue
+                return MibResult(
+                    ok=True, nof_ports=ports, frame_phase=f,
+                    sfn=(mib["sfn_msb"] << 2) | f, n_prb=mib["n_prb"],
+                    phich_ng=mib["phich_ng"], phich_length=mib["phich_length"])
+    return MibResult(ok=False)

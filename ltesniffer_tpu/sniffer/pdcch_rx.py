@@ -68,12 +68,13 @@ def _static_maps(cell: CellConfig, cfi: int):
 
 
 @functools.lru_cache(maxsize=16)
-def make_pipeline(cell: CellConfig, cfi: int):
-    """Build the jitted per-batch PDCCH decode function.
+def _build_pipeline(cell: CellConfig, cfi: int):
+    """Build the jitted per-batch PDCCH decode functions.
 
-    Returned fn: (samples (B, RX, sf_len) c64, sf_idx (B,) i32) -> dict of
-      snr_db (B,), noise_var (B,), cce_power (B, nof_cce),
+    run: (samples (B, RX, sf_len) c64, sf_idx (B,) i32) -> dict of
+      snr_db (B,), noise_var (B,), cce_power (B, nof_cce), grids, h,
       and per payload size D: bits_{D} (B, n_loc, D), rnti_{D} (B, n_loc).
+    from_grids: same outputs, fed by the shared frontend.
     """
     st = _static_maps(cell, cfi)
     nof_cce = st["nof_cce"]
@@ -107,25 +108,22 @@ def make_pipeline(cell: CellConfig, cfi: int):
     use_sfbc = cell.nof_ports >= 2
 
     @jax.jit
-    def run(samples, sf_idx):
-        grids = ofdm.demodulate(samples, cell)                   # (B,RX,14,n_sc)
+    def run_from_grids(grids, h, noise_var, snr_db, sf_idx):
         B = grids.shape[0]
-        ch = chest.estimate(grids, sf_idx, cell)
-        h = ch["h"]                                              # (B,RX,P,14,n_sc)
         gflat = grids.reshape(B, grids.shape[1], -1)
         hflat = h.reshape(B, h.shape[1], h.shape[2], -1)
         y = gflat[..., gather_idx]                               # (B,RX,M)
         hh = hflat[..., gather_idx]                              # (B,RX,P,M)
         if use_sfbc:
-            x = chest.equalize_sfbc(y, hh, ch["noise_var"])      # (B,M)
+            x = chest.equalize_sfbc(y, hh, noise_var)            # (B,M)
         else:
-            x = chest.equalize_port0(y, hh[:, :, 0], ch["noise_var"])
+            x = chest.equalize_port0(y, hh[:, :, 0], noise_var)
         llr = demapper.qpsk_llr(x) * jnp.asarray(scr_j)[sf_idx]  # (B, 8*m_quad)
         cce_power = jnp.mean(
             jnp.abs(llr[:, :72 * nof_cce]).reshape(B, nof_cce, 72),
             axis=-1)                                             # (B, nof_cce)
 
-        out = {"snr_db": ch["snr_db"], "noise_var": ch["noise_var"],
+        out = {"snr_db": snr_db, "noise_var": noise_var,
                "cce_power": cce_power, "cfo": jnp.zeros((B,), jnp.float32),
                "grids": grids, "h": h}   # reused by the PDSCH phase
         for D, per_lvl in size_consts.items():
@@ -146,4 +144,24 @@ def make_pipeline(cell: CellConfig, cfi: int):
             out[f"rnti_{D}"] = (calc ^ rx16).astype(jnp.int32)
         return out
 
-    return run, st
+    @jax.jit
+    def run(samples, sf_idx):
+        grids = ofdm.demodulate(samples, cell)                   # (B,RX,14,n_sc)
+        ch = chest.estimate(grids, sf_idx, cell)
+        return run_from_grids(grids, ch["h"], ch["noise_var"],
+                              ch["snr_db"], sf_idx)
+
+    return {"run": run, "from_grids": run_from_grids, "st": st}
+
+
+def make_pipeline(cell: CellConfig, cfi: int):
+    """(run(samples, sf_idx), static maps) — see `_build_pipeline`."""
+    b = _build_pipeline(cell, cfi)
+    return b["run"], b["st"]
+
+
+def make_search_from_grids(cell: CellConfig, cfi: int):
+    """(run(grids, h, noise_var, snr_db, sf_idx), static maps) for use after
+    the shared frontend (`frontend.make_frontend`)."""
+    b = _build_pipeline(cell, cfi)
+    return b["from_grids"], b["st"]

@@ -175,3 +175,22 @@ def add_pdsch(g: np.ndarray, cell: CellConfig, sf_idx: int, cfi: int,
     for p in range(min(cell.nof_ports, 2)):
         flat[p, re_idx] = per_port[p]
     return G
+
+
+def add_pbch(g: np.ndarray, cell: CellConfig, sfn: int):
+    """Map the PBCH segment for this radio frame onto a subframe-0 grid."""
+    from ltesniffer_tpu.sniffer import pbch_rx
+    mib = pbch_rx.pack_mib(cell.n_prb, cell.phich_resources,
+                           cell.phich_length, sfn)
+    full = pbch_rx.encode_pbch(cell.n_id_cell, mib, cell.nof_ports)
+    f = sfn % 4
+    seg = full[480 * f: 480 * (f + 1)]
+    syms = modulation.modulate(seg, 2)           # 240 QPSK symbols
+    if cell.nof_ports >= 2:
+        per_port = _sfbc_precode(syms)
+    else:
+        per_port = syms[None, :]
+    re_idx = pbch_rx.pbch_re_indices(cell)
+    flat = g.reshape(g.shape[0], -1)
+    for p in range(min(cell.nof_ports, 2)):
+        flat[p, re_idx] = per_port[p]
