@@ -1,0 +1,106 @@
+"""Command-line interface (offline file replay).
+
+Mirrors the reference's file-mode arguments (`src/src/ArgManager.cc:107-231`:
+``-i <iq_file> -c <cell_id> -p <prb> -P <ports> ...``) with long options.
+
+Example:
+    python -m ltesniffer_tpu.cli -i trace.iq -c 301 -p 50 -P 2 \
+        -o out.pcap --sync
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="ltesniffer_tpu",
+                                description=__doc__.split("\n")[0])
+    p.add_argument("-i", "--input", required=True, help="IQ trace file "
+                   "(interleaved complex float32)")
+    p.add_argument("-c", "--cell-id", type=int, default=None,
+                   help="physical cell id (omit to cell-search)")
+    p.add_argument("-p", "--prb", type=int, default=50,
+                   help="downlink bandwidth in PRB")
+    p.add_argument("-P", "--ports", type=int, default=2,
+                   help="eNB CRS antenna ports")
+    p.add_argument("-A", "--rx-antennas", type=int, default=1)
+    p.add_argument("-o", "--output", default="ltesniffer_dl_mode.pcap",
+                   help="MAC-LTE pcap output")
+    p.add_argument("-z", "--api-output", default=None,
+                   help="security-API pcap output")
+    p.add_argument("-n", "--nof-subframes", type=int, default=None)
+    p.add_argument("-t", "--threshold", type=int, default=5,
+                   help="RNTI histogram threshold")
+    p.add_argument("-B", "--batch", type=int, default=32,
+                   help="subframes per TPU batch")
+    p.add_argument("--sync", action="store_true",
+                   help="run PSS/SSS sync to align the trace (else assume "
+                   "the file starts at a subframe boundary)")
+    p.add_argument("--no-pdsch", action="store_true",
+                   help="DCI/RNTI search only (no PDSCH decode)")
+    p.add_argument("--stats-json", default=None,
+                   help="write summary stats to this JSON file")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import numpy as np
+    from ltesniffer_tpu.io import iq as iq_mod
+    from ltesniffer_tpu.phy.params import CellConfig
+    from ltesniffer_tpu.sniffer import core, sync as sync_mod
+
+    samples = iq_mod.read_iq(args.input)
+    print(f"[cli] loaded {len(samples)} samples from {args.input}")
+
+    n_fft = CellConfig(n_id_cell=0, n_prb=args.prb).n_fft
+    sf_idx0 = 0
+    cell_id = args.cell_id
+    if args.sync or cell_id is None:
+        sr = sync_mod.find_cell(samples[:20 * 15360 * n_fft // 1024], n_fft)
+        if sr is None:
+            print("[cli] no cell found in trace", file=sys.stderr)
+            return 2
+        print(f"[cli] cell search: PCI={sr.n_id_cell} peak={sr.peak:.2f} "
+              f"cfo={sr.cfo:.3f}sc offset={sr.subframe_offset}")
+        if cell_id is not None and cell_id != sr.n_id_cell:
+            print(f"[cli] warning: preset cell {cell_id} != found "
+                  f"{sr.n_id_cell}; using preset")
+        else:
+            cell_id = sr.n_id_cell
+        samples = sync_mod.correct_cfo(samples[sr.subframe_offset:],
+                                       sr.cfo, n_fft)
+        sf_idx0 = 5 if sr.is_subframe5 else 0
+
+    cell = CellConfig(n_id_cell=cell_id, n_prb=args.prb,
+                      nof_ports=args.ports, nof_rx_ant=args.rx_antennas)
+    cfg = core.SnifferConfig(cell=cell, batch_size=args.batch,
+                             pcap_path=args.output,
+                             api_pcap_path=args.api_output,
+                             histogram_threshold=args.threshold,
+                             decode_pdsch=not args.no_pdsch)
+    sniffer = core.LTESnifferCore(cfg)
+    t0 = time.time()
+    sniffer.run_samples(samples, sf_idx0=sf_idx0,
+                        max_subframes=args.nof_subframes)
+    dt = time.time() - t0
+    sniffer.close()
+    s = sniffer.summary()
+    s["wall_s"] = round(dt, 3)
+    s["subframes_per_s"] = round(s["subframes"] / dt, 1) if dt > 0 else 0
+    print(f"[cli] processed {s['subframes']} subframes in {dt:.2f}s "
+          f"({s['subframes_per_s']} sf/s): {s['dcis']} DCIs, "
+          f"{s['pdsch_ok']} PDSCH ok, {s['active_rntis']} active RNTIs")
+    print(f"[cli] pcap written to {args.output}")
+    if args.stats_json:
+        with open(args.stats_json, "w") as f:
+            json.dump(s, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,302 @@
+"""Sniffer core: the batched DL processing loop.
+
+Re-design of `LTESniffer_Core::run` + `SubframeWorker::work`
+(`src/src/LTESniffer_Core.cc:107-528`, `src/src/SubframeWorker.cc:142-234`):
+instead of a ring of 20 worker threads each processing one subframe, the
+stream is framed into batches of B subframes that move through the jitted
+TPU pipeline together:
+
+  frames -> frontend (demod+chest+CFI) -> group by CFI -> per-CFI blind
+  search -> sequential host resolve (RNTI state in TTI order) -> PDSCH
+  decode per accepted DL DCI (HARQ-aware, dual-MCS-table trial) -> MAC
+  parse -> pcap / RAR / statistics.
+
+The host resolve + trackers mirror the reference's mutex-guarded L5 state
+but run single-threaded over the batch (they are bookkeeping, not DSP).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, Iterable, List, Optional
+
+import numpy as np
+
+from ltesniffer_tpu.phy import dci as dci_mod, tables
+from ltesniffer_tpu.phy.params import (CellConfig, SIRNTI, PRNTI,
+                                       RARNTI_START, RARNTI_END)
+from ltesniffer_tpu.io import iq as iq_mod, pcap as pcap_mod
+from ltesniffer_tpu.mac_rrc import mac as mac_mod
+from . import (dci_search, frontend, pbch_rx, pdcch_rx, pdsch_rx,
+               rnti_manager, sync, trackers)
+
+
+@dataclasses.dataclass
+class SnifferConfig:
+    cell: CellConfig
+    batch_size: int = 32
+    pcap_path: Optional[str] = None
+    api_pcap_path: Optional[str] = None
+    histogram_threshold: int = 5
+    sfn0: int = 0
+    decode_pdsch: bool = True
+    api_mode: int = -1
+    max_harq_retx_buffers: int = 4096
+
+
+@dataclasses.dataclass
+class AcceptedPdsch:
+    dci: dci_search.AcceptedDci
+    crc_ok: bool
+    tbs: int
+    payload: Optional[bytes]
+    is_retx: bool
+    table: trackers.McsTable
+
+
+class LTESnifferCore:
+    def __init__(self, cfg: SnifferConfig):
+        self.cfg = cfg
+        self.cell = cfg.cell
+        self.rm = rnti_manager.default_manager(cfg.histogram_threshold)
+        self.search = dci_search.DciBlindSearch(self.cell, self.rm)
+        self.mcs = trackers.MCSTracking()
+        self.harq = trackers.HarqEntity()
+        self.ulsche = trackers.ULSchedule()
+        self.soft_buffers: Dict = {}
+        self.frontend = frontend.make_frontend(self.cell)
+        self.sfn = cfg.sfn0
+        self.sf_count = 0
+        self.processed = 0
+        self.pcap = (pcap_mod.MacLtePcapWriter(cfg.pcap_path)
+                     if cfg.pcap_path else None)
+        self.api_records: List[dict] = []
+        self.results: List[AcceptedPdsch] = []
+        self.on_subframe = None   # hook(sf_ctx) for extensions
+        self._searchers = {}
+        self._mib_synced = False
+
+    # ------------------------------------------------------------------
+    def _searcher(self, cfi: int):
+        if cfi not in self._searchers:
+            self._searchers[cfi] = pdcch_rx.make_search_from_grids(
+                self.cell, cfi)
+        return self._searchers[cfi]
+
+    # ------------------------------------------------------------------
+    def run_file(self, path: str, sf_offset: int = 0, sf_idx0: int = 0,
+                 max_subframes: Optional[int] = None):
+        """Offline replay of an IQ trace (single RX antenna file)."""
+        samples = iq_mod.read_iq(path)
+        return self.run_samples(samples[sf_offset:], sf_idx0, max_subframes)
+
+    def run_samples(self, samples: np.ndarray, sf_idx0: int = 0,
+                    max_subframes: Optional[int] = None):
+        n = self.cell.sf_len
+        total = len(samples) // n
+        if max_subframes is not None:
+            total = min(total, max_subframes)
+        frames = samples[:total * n].reshape(total, 1, n)
+        sf_idx = (sf_idx0 + np.arange(total)) % 10
+        for a in range(0, total, self.cfg.batch_size):
+            b = min(a + self.cfg.batch_size, total)
+            self.process_batch(frames[a:b], sf_idx[a:b].astype(np.int32))
+        return self.results
+
+    # ------------------------------------------------------------------
+    def process_batch(self, frames: np.ndarray, sf_idx: np.ndarray):
+        """frames: (B, RX, sf_len) complex64; sf_idx: (B,) int32."""
+        import jax.numpy as jnp
+        B = frames.shape[0]
+        fe = self.frontend(jnp.asarray(frames.astype(np.complex64)),
+                           jnp.asarray(sf_idx))
+        cfi = np.asarray(fe["cfi"])
+        # SFN acquisition from the first decodable MIB (subframe 0)
+        if not self._mib_synced:
+            for i in range(B):
+                if sf_idx[i] == 0:
+                    mib = pbch_rx.decode_mib(
+                        np.asarray(fe["grids"][i]), np.asarray(fe["h"][i]),
+                        np.asarray(fe["noise_var"][i]), self.cell)
+                    if mib.ok:
+                        self.sfn = (mib.sfn - (self.sf_count + i) // 10) % 1024
+                        self._mib_synced = True
+                    break
+        # group by detected CFI, run the per-CFI search
+        outs: Dict[int, dict] = {}
+        pos_in_group = np.zeros(B, dtype=np.int64)
+        for c in (1, 2, 3):
+            sel = np.nonzero(cfi == c)[0]
+            if len(sel) == 0:
+                continue
+            run, st = self._searcher(int(c))
+            out = run(fe["grids"][jnp.asarray(sel)],
+                      fe["h"][jnp.asarray(sel)],
+                      fe["noise_var"][jnp.asarray(sel)],
+                      fe["snr_db"][jnp.asarray(sel)],
+                      jnp.asarray(sf_idx[sel]))
+            outs[c] = {k: np.asarray(v) for k, v in out.items()
+                       if k not in ("grids", "h")}
+            outs[c]["grids"] = out["grids"]
+            outs[c]["h"] = out["h"]
+            outs[c]["_st"] = st
+            pos_in_group[sel] = np.arange(len(sel))
+
+        # sequential resolve + PDSCH decode in time order
+        for i in range(B):
+            c = int(cfi[i])
+            if c not in outs:
+                continue
+            out = outs[c]
+            st = out["_st"]
+            gi = int(pos_in_group[i])
+            sf = int(sf_idx[i])
+            sfn_i = (self.sfn + (self.sf_count + i) // 10) % 1024
+            accepted = self.search.resolve_subframe(
+                out, gi, st["locs"], st["nof_cce"], sf, sfn=sfn_i)
+            if self.cfg.decode_pdsch:
+                for a in accepted:
+                    if a.fmt == "0":
+                        self._handle_ul_dci(a, sfn_i, sf)
+                    else:
+                        self._handle_dl_dci(out, gi, c, a, sfn_i, sf)
+            if self.on_subframe:
+                self.on_subframe(dict(out=out, gi=gi, cfi=c, sf=sf,
+                                      sfn=sfn_i, accepted=accepted))
+            self.processed += 1
+        self.sf_count += B
+        now_tti = trackers.tti_of(self.sfn + self.sf_count // 10,
+                                  int(sf_idx[-1]))
+        self.mcs.update_database(now_tti)
+
+    # ------------------------------------------------------------------
+    def _handle_ul_dci(self, a: dci_search.AcceptedDci, sfn: int, sf: int):
+        d = dci_mod.unpack(a.payload, "0", self.cell, rnti=a.rnti)
+        g = dci_mod.ul_grant_from_dci(d, self.cell)
+        self.ulsche.push_dci0(trackers.tti_of(sfn, sf), trackers.UlGrantPending(
+            rnti=a.rnti, tti_apply=0, mcs=g.mcs, prb_start=g.prb_start,
+            n_prb=g.n_prb, ndi=g.ndi, hopping=g.hopping, dmrs_cs=g.dmrs_cs,
+            cqi_request=g.cqi_request))
+        st = self.mcs.stat_ul(a.rnti)
+        st.new_tx += 1
+        st.last_seen_tti = trackers.tti_of(sfn, sf)
+
+    def _handle_dl_dci(self, out, gi: int, cfi: int,
+                       a: dci_search.AcceptedDci, sfn: int, sf: int):
+        d = dci_mod.unpack(a.payload, a.fmt, self.cell, rnti=a.rnti)
+        grant = dci_mod.dl_grant_from_dci(d, self.cell)
+        tti = trackers.tti_of(sfn, sf)
+        is_special = (a.rnti in (SIRNTI, PRNTI)
+                      or RARNTI_START <= a.rnti <= RARNTI_END)
+        tried: List[trackers.McsTable] = []
+        if is_special:
+            tried = [trackers.McsTable.QAM64]
+        else:
+            known = self.mcs.dl_table_of(a.rnti)
+            if known == trackers.McsTable.UNKNOWN:
+                tried = [trackers.McsTable.QAM64, trackers.McsTable.QAM256]
+            else:
+                tried = [known]
+
+        # HARQ classification happens ONCE per DCI (not per table trial):
+        # the reference also classifies before its dual-table retry
+        # (`DL_Sniffer_PDSCH.cc:955-991`).
+        qm0, i_tbs0 = tables.dl_mcs_to_qm_itbs(
+            grant.mcs, tried[0] == trackers.McsTable.QAM256)
+        tbs0 = tables.tbs_lookup(i_tbs0, grant.n_prb_alloc) if i_tbs0 >= 0 else 0
+        is_retx = False
+        harq_key = None
+        if not is_special:
+            is_retx, tbs0 = self.harq.classify(
+                a.rnti, grant.harq_pid, 0, grant.ndi, tbs0, tti)
+            harq_key = self.harq.buffer_key(a.rnti, grant.harq_pid, 0)
+        # soft combining only when the MCS table is unambiguous (a trial
+        # decode must not pollute the HARQ buffer)
+        use_buffers = harq_key is not None and len(tried) == 1
+
+        res = None
+        used_table = tried[0]
+        for table in tried:
+            use256 = table == trackers.McsTable.QAM256
+            qm, i_tbs = tables.dl_mcs_to_qm_itbs(grant.mcs, use256)
+            tbs = tables.tbs_lookup(i_tbs, grant.n_prb_alloc) if i_tbs >= 0 \
+                else (tbs0 if is_retx else 0)
+            if tbs <= 0:
+                continue
+            r = pdsch_rx.decode_grant(
+                out["grids"], out["h"], out["noise_var"], gi, self.cell, sf,
+                cfi, rnti=a.rnti, prb_mask=grant.prb_mask, qm=qm, tbs=tbs,
+                rv=grant.rv, prb_mask_slot1=grant.prb_mask_slot1,
+                soft_buffers=self.soft_buffers if use_buffers else None,
+                harq_key=harq_key if use_buffers else None)
+            res = r
+            used_table = table
+            if r.crc_ok:
+                if (not is_special
+                        and self.mcs.dl_table_of(a.rnti)
+                        == trackers.McsTable.UNKNOWN):
+                    self.mcs.learn_dl_table(a.rnti, table)
+                break
+
+        payload = None
+        crc_ok = res.crc_ok if res else False
+        if res and res.crc_ok:
+            payload = np.packbits(res.tb_bits).tobytes()
+            self._emit_pdsch(a, payload, sfn, sf, crc_ok=True,
+                             retx=1 if is_retx else 0)
+            if RARNTI_START <= a.rnti <= RARNTI_END:
+                self._handle_rar(payload, sfn, sf)
+        st = self.mcs.stat_dl(a.rnti)
+        st.last_seen_tti = tti
+        if is_retx:
+            st.retx += 1
+        else:
+            st.new_tx += 1
+        if crc_ok:
+            st.success += 1
+        else:
+            st.fail += 1
+        self.results.append(AcceptedPdsch(
+            dci=a, crc_ok=crc_ok, tbs=res.tbs if res else 0,
+            payload=payload, is_retx=is_retx, table=used_table))
+
+    def _handle_rar(self, payload: bytes, sfn: int, sf: int):
+        """RAR: activate T-CRNTIs (RM_ACT_RAR) + queue UL grants
+        (`DL_Sniffer_PDSCH.cc:782-800`)."""
+        _backoff, rars = mac_mod.parse_rar_pdu(payload)
+        for r in rars:
+            if r.t_crnti:
+                self.rm.activate_and_refresh(
+                    r.t_crnti, rnti_manager.FORMAT_TO_INDEX["0"],
+                    rnti_manager.ActivationReason.RAR)
+                f = mac_mod.rar_grant_fields(r.grant)
+                from ltesniffer_tpu.phy import ra
+                s, l = ra.riv_to_start_len(f["rba"], self.cell.n_prb)
+                self.ulsche.push_rar(
+                    trackers.tti_of(sfn, sf),
+                    trackers.UlGrantPending(
+                        rnti=r.t_crnti, tti_apply=0, mcs=f["trunc_mcs"],
+                        prb_start=s, n_prb=l, ndi=0, hopping=f["hopping"],
+                        cqi_request=f["cqi_request"], rapid=r.rapid))
+
+    def _emit_pdsch(self, a: dci_search.AcceptedDci, payload: bytes,
+                    sfn: int, sf: int, crc_ok: bool, retx: int):
+        if self.pcap:
+            self.pcap.write_pdu(payload, rnti=a.rnti,
+                                direction=pcap_mod.DIRECTION_DOWNLINK,
+                                sfn=sfn, sf_idx=sf, crc_ok=crc_ok, retx=retx)
+
+    # ------------------------------------------------------------------
+    def close(self):
+        if self.pcap:
+            self.pcap.close()
+
+    def summary(self) -> dict:
+        ok = sum(1 for r in self.results if r.crc_ok)
+        return {
+            "subframes": self.processed,
+            "dcis": len(self.results),
+            "pdsch_ok": ok,
+            "active_rntis": len(self.rm.active_set()),
+            "search_stats": dataclasses.asdict(self.search.stats),
+        }

@@ -1,0 +1,198 @@
+"""Cross-subframe state trackers (host-side): MCS tracking, HARQ, UL schedule.
+
+Functional re-design of the reference's mutex-guarded L5 singletons
+(SURVEY.md §2.0):
+
+* MCSTracking (`src/src/MCSTracking.cc`): per-RNTI auto-detection of the DL
+  (64QAM vs 256QAM) and UL (16/64/256QAM) MCS tables, UE-specific config
+  learned from RRC, per-RNTI statistics, 5 s inactivity expiry.
+* HARQ (`src/src/HARQ.cc`): per-(rnti, pid, tb) new-TX/re-TX classification
+  by NDI toggle + TTI distance, last-TBS lookup for mcs 29-31 re-TX, and the
+  soft-buffer keying used by `pdsch_rx.decode_grant`.
+* ULSchedule (`src/src/ULSchedule.cc`): DCI0 grants issued at TTI t apply at
+  t+4; RAR grants at t+6.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Dict, List, Optional, Tuple
+
+
+class McsTable(enum.Enum):
+    UNKNOWN = 0
+    QAM64 = 1
+    QAM256 = 2
+    # UL variants
+    UL_16QAM = 3
+    UL_64QAM = 4
+    UL_256QAM = 5
+
+
+TTI_MAX = 10240
+
+
+def tti_of(sfn: int, sf_idx: int) -> int:
+    return (sfn * 10 + sf_idx) % TTI_MAX
+
+
+def tti_delta(a: int, b: int) -> int:
+    """Forward distance from b to a in TTIs (modular)."""
+    return (a - b) % TTI_MAX
+
+
+@dataclasses.dataclass
+class RntiStats:
+    new_tx: int = 0
+    retx: int = 0
+    success: int = 0
+    fail: int = 0
+    wrong_mimo: int = 0
+    last_seen_tti: int = 0
+
+
+@dataclasses.dataclass
+class UeConfig:
+    """UE-specific config learned from RRCConnectionSetup
+    (`MCSTracking.cc:1446-1529`)."""
+    p_a: float = 0.0
+    uci_offset_ack: int = 10
+    uci_offset_ri: int = 12
+    uci_offset_cqi: int = 15
+    cqi_mode: int = -1
+    has_config: bool = False
+
+
+class MCSTracking:
+    INACTIVITY_MS = 5000   # `MCSTracking.cc` 5 s expiry
+
+    def __init__(self):
+        self.dl_table: Dict[int, McsTable] = {}
+        self.ul_table: Dict[int, McsTable] = {}
+        self.ue_config: Dict[int, UeConfig] = {}
+        self.stats_dl: Dict[int, RntiStats] = {}
+        self.stats_ul: Dict[int, RntiStats] = {}
+
+    def dl_table_of(self, rnti: int) -> McsTable:
+        return self.dl_table.get(rnti, McsTable.UNKNOWN)
+
+    def ul_table_of(self, rnti: int) -> McsTable:
+        return self.ul_table.get(rnti, McsTable.UNKNOWN)
+
+    def learn_dl_table(self, rnti: int, table: "McsTable"):
+        self.dl_table[rnti] = table
+
+    def learn_ul_table(self, rnti: int, table: "McsTable"):
+        self.ul_table[rnti] = table
+
+    def set_ue_config(self, rnti: int, cfg: UeConfig):
+        cfg.has_config = True
+        self.ue_config[rnti] = cfg
+
+    def stat_dl(self, rnti: int) -> RntiStats:
+        return self.stats_dl.setdefault(rnti, RntiStats())
+
+    def stat_ul(self, rnti: int) -> RntiStats:
+        return self.stats_ul.setdefault(rnti, RntiStats())
+
+    def update_database(self, now_tti: int):
+        """Expire RNTIs idle for > 5 s (`MCSTracking.cc:87-110`)."""
+        for d, st in ((self.dl_table, self.stats_dl),
+                      (self.ul_table, self.stats_ul)):
+            dead = [r for r, s in st.items()
+                    if tti_delta(now_tti, s.last_seen_tti) > self.INACTIVITY_MS]
+            for r in dead:
+                st.pop(r, None)
+                d.pop(r, None)
+                self.ue_config.pop(r, None)
+
+    def table_summary(self):
+        return {
+            "dl": {hex(r): t.name for r, t in self.dl_table.items()},
+            "ul": {hex(r): t.name for r, t in self.ul_table.items()},
+        }
+
+
+# McsTable forward alias used in annotations above
+McsTable = McsTable
+
+
+@dataclasses.dataclass
+class HarqProcState:
+    ndi: int = -1
+    tbs: int = 0
+    last_tti: int = 0
+    active: bool = False
+
+
+class HarqEntity:
+    """DL HARQ classification DB (reference: 150 RNTIs x 8 proc x 2 TB)."""
+
+    RECURRENCE = 8   # ms; `HARQ.cc:60-68`
+
+    def __init__(self):
+        self.db: Dict[Tuple[int, int, int], HarqProcState] = {}
+
+    def classify(self, rnti: int, pid: int, tb: int, ndi: int, tbs: int,
+                 tti: int) -> Tuple[bool, int]:
+        """Returns (is_retransmission, tbs_to_use).
+
+        New TX when the NDI toggled or the process is unseen; re-TX when NDI
+        is unchanged (soft buffer should be combined).  For re-TX with
+        unknown TBS (mcs 29-31 -> tbs<=0) the stored TBS is returned
+        (`HARQ.cc:71-130`, `getlastTbs`)."""
+        key = (rnti, pid, tb)
+        st = self.db.setdefault(key, HarqProcState())
+        if not st.active or st.ndi != ndi:
+            st.ndi, st.tbs, st.last_tti, st.active = ndi, tbs, tti, True
+            return False, tbs
+        # same NDI -> retransmission
+        use_tbs = tbs if tbs > 0 else st.tbs
+        st.last_tti = tti
+        if tbs > 0:
+            st.tbs = tbs
+        return True, use_tbs
+
+    def buffer_key(self, rnti: int, pid: int, tb: int) -> Tuple:
+        return (rnti, pid, tb)
+
+
+@dataclasses.dataclass
+class UlGrantPending:
+    rnti: int
+    tti_apply: int
+    mcs: int
+    prb_start: int
+    n_prb: int
+    ndi: int
+    hopping: int = 0
+    dmrs_cs: int = 0
+    cqi_request: int = 0
+    from_rar: bool = False
+    rapid: int = -1
+
+
+class ULSchedule:
+    """TTI-indexed pending UL grant DB (`ULSchedule.cc:11-138`)."""
+
+    DCI0_DELAY = 4   # `get_ul_tti`, `ULSchedule.cc:112`
+    RAR_DELAY = 6    # `ULSchedule.cc:126`
+
+    def __init__(self):
+        self.pending: Dict[int, List[UlGrantPending]] = {}
+        self.sib2: Optional[dict] = None
+
+    def push_dci0(self, tti_now: int, g: UlGrantPending):
+        g.tti_apply = (tti_now + self.DCI0_DELAY) % TTI_MAX
+        self.pending.setdefault(g.tti_apply, []).append(g)
+
+    def push_rar(self, tti_now: int, g: UlGrantPending):
+        g.from_rar = True
+        g.tti_apply = (tti_now + self.RAR_DELAY) % TTI_MAX
+        self.pending.setdefault(g.tti_apply, []).append(g)
+
+    def pop(self, tti: int) -> List[UlGrantPending]:
+        return self.pending.pop(tti % TTI_MAX, [])
+
+    def set_sib2(self, cfg: dict):
+        self.sib2 = cfg

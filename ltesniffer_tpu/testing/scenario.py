@@ -1,0 +1,127 @@
+"""Scenario builder: scripted multi-subframe eNodeB streams for e2e tests.
+
+Drives the test-side encoder to produce an IQ stream with control channels,
+PDCCH DCIs and PDSCH transport blocks (MAC PDUs), so `LTESnifferCore` can be
+validated like the reference validates against recorded traces.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ltesniffer_tpu.phy import dci as dci_mod, ra, tables
+from ltesniffer_tpu.phy.params import CellConfig
+from ltesniffer_tpu.phy import search_space
+from . import encoder
+
+
+@dataclasses.dataclass
+class DlTx:
+    """One scheduled DL transport block."""
+    rnti: int
+    mac_pdu: bytes
+    mcs: int = None              # chosen automatically if None
+    prb_start: int = 0
+    n_prb: int = 10
+    harq_pid: int = 0
+    ndi: int = 0
+    rv: int = 0
+    L: Optional[int] = None      # aggregation exponent; auto if None
+    ncce: Optional[int] = None
+
+
+def _fit_mcs(pdu_len_bits: int, n_prb: int) -> Tuple[int, int]:
+    """Smallest (mcs, tbs) whose TBS fits the PDU (QPSK/16QAM region)."""
+    for mcs in range(0, 29):
+        qm, itbs = tables.dl_mcs_to_qm_itbs(mcs)
+        if itbs < 0:
+            continue
+        tbs = tables.tbs_lookup(itbs, n_prb)
+        if tbs >= pdu_len_bits:
+            return mcs, tbs
+    raise ValueError("PDU too large for allocation")
+
+
+class ScenarioBuilder:
+    def __init__(self, cell: CellConfig, cfi: int = 2, noise: float = 0.04,
+                 seed: int = 0, sfn0: int = 0):
+        self.cell = cell
+        self.cfi = cfi
+        self.noise = noise
+        self.rng = np.random.default_rng(seed)
+        self.h = encoder.flat_channel(cell, cell.nof_rx_ant, self.rng)
+        self.subframes: List[np.ndarray] = []
+        self.sfn0 = sfn0
+        self.truth: List[dict] = []
+
+    def add_subframe(self, sf_idx: int, dl_txs: Sequence[DlTx] = (),
+                     with_pbch_sfn: Optional[int] = None):
+        cell = self.cell
+        tx_dcis = []
+        pdsch_jobs = []
+        used_cce = set()
+        for t in dl_txs:
+            pdu_bits = len(t.mac_pdu) * 8
+            mcs = t.mcs
+            if mcs is None:
+                mcs, tbs = _fit_mcs(pdu_bits, t.n_prb)
+            else:
+                qm, itbs = tables.dl_mcs_to_qm_itbs(mcs)
+                tbs = tables.tbs_lookup(itbs, t.n_prb)
+            # place the DCI
+            L, ncce = t.L, t.ncce
+            if L is None or ncce is None:
+                if t.rnti >= 0xFFF4 or t.rnti <= 0x3C:
+                    cands = search_space.common_candidates(
+                        self._nof_cce())
+                else:
+                    cands = search_space.ue_candidates(
+                        t.rnti, sf_idx, self._nof_cce())
+                placed = False
+                for (l, nc) in cands:
+                    span = set(range(nc, nc + (1 << l)))
+                    if not span & used_cce:
+                        L, ncce = l, nc
+                        used_cce.update(span)
+                        placed = True
+                        break
+                if not placed:
+                    raise ValueError("no free CCEs")
+            else:
+                used_cce.update(range(ncce, ncce + (1 << L)))
+            riv = ra.start_len_to_riv(t.prb_start, t.n_prb, cell.n_prb)
+            d = dci_mod.Dci(fmt="1A", rnti=t.rnti, fields=dict(
+                flag0_1a=1, vrb_flag=0, riv=riv, mcs=mcs,
+                harq_pid=t.harq_pid, ndi=t.ndi, rv=t.rv, tpc=0))
+            tx_dcis.append(encoder.TxDci(dci=d, L=L, ncce=ncce))
+            # pad TB with the MAC padding structure is the caller's job;
+            # here we zero-pad the PDU bytes up to TBS
+            tb = np.zeros(tbs, dtype=np.uint8)
+            pdu_bits_arr = np.unpackbits(
+                np.frombuffer(t.mac_pdu, dtype=np.uint8))
+            tb[:len(pdu_bits_arr)] = pdu_bits_arr
+            qm, _ = tables.dl_mcs_to_qm_itbs(mcs)
+            mask = np.zeros(cell.n_prb, dtype=bool)
+            mask[t.prb_start:t.prb_start + t.n_prb] = True
+            pdsch_jobs.append((t.rnti, mask, qm, tb, t.rv))
+            self.truth.append(dict(sf=len(self.subframes), sf_idx=sf_idx,
+                                   rnti=t.rnti, tbs=tbs, mcs=mcs,
+                                   pdu=t.mac_pdu))
+        g = encoder.build_control_subframe(cell, sf_idx, self.cfi, tx_dcis)
+        if with_pbch_sfn is not None and sf_idx == 0:
+            encoder.add_pbch(g, cell, with_pbch_sfn)
+        for (rnti, mask, qm, tb, rv) in pdsch_jobs:
+            encoder.add_pdsch(g, cell, sf_idx, self.cfi, rnti, mask, qm, tb,
+                              rv=rv)
+        rxg = encoder.apply_channel(g, self.h, self.noise, self.rng)
+        self.subframes.append(encoder.subframe_iq(cell, rxg)[0])
+
+    def _nof_cce(self):
+        from ltesniffer_tpu.phy import grid as grid_mod
+        return grid_mod.control_region(self.cell, self.cfi)[
+            "nof_pdcch_regs"] // 9
+
+    def stream(self) -> np.ndarray:
+        return np.concatenate(self.subframes).astype(np.complex64)
