@@ -186,6 +186,19 @@ class LTESnifferCore:
         d = dci_mod.unpack(a.payload, a.fmt, self.cell, rnti=a.rnti)
         grant = dci_mod.dl_grant_from_dci(d, self.cell)
         tti = trackers.tti_of(sfn, sf)
+        if grant.nof_tb == 2:
+            # TB enabled iff not (mcs == 0 and rv == 1), 36.213 7.1.7.2
+            en0 = not (grant.mcs == 0 and grant.rv == 1)
+            en1 = not (grant.mcs2 == 0 and grant.rv2 == 1)
+            if en0 and en1 and self.cell.nof_rx_ant >= 2:
+                return self._handle_dl_dci_mimo(out, gi, cfi, a, grant,
+                                                sfn, sf, tti)
+            # single enabled TB -> fall through as transmit diversity with
+            # that TB's fields
+            if en1 and not en0:
+                grant.mcs, grant.rv, grant.ndi = (grant.mcs2, grant.rv2,
+                                                  grant.ndi2)
+            grant.nof_tb = 1
         is_special = (a.rnti in (SIRNTI, PRNTI)
                       or RARNTI_START <= a.rnti <= RARNTI_END)
         tried: List[trackers.McsTable] = []
@@ -259,6 +272,55 @@ class LTESnifferCore:
         self.results.append(AcceptedPdsch(
             dci=a, crc_ok=crc_ok, tbs=res.tbs if res else 0,
             payload=payload, is_retx=is_retx, table=used_table))
+
+    def _handle_dl_dci_mimo(self, out, gi: int, cfi: int,
+                            a: dci_search.AcceptedDci,
+                            grant: dci_mod.DlGrant, sfn: int, sf: int,
+                            tti: int):
+        """Formats 2/2A with two enabled TBs: spatial multiplexing decode
+        (TM4 via the DCI's precoding info, TM3 for format 2A)."""
+        from ltesniffer_tpu.kernels import mimo as mimo_mod
+        if a.fmt == "2":
+            n_layers, pmi = mimo_mod.decode_pinfo_2tx(grant.precoding, True)
+            tm = 4
+        else:
+            tm, pmi = 3, 0
+        known = self.mcs.dl_table_of(a.rnti)
+        use256 = known == trackers.McsTable.QAM256
+        qms, tbss, keys = [], [], []
+        for q, (mcs, ndi) in enumerate(((grant.mcs, grant.ndi),
+                                        (grant.mcs2, grant.ndi2))):
+            qm, i_tbs = tables.dl_mcs_to_qm_itbs(mcs, use256)
+            tbs = tables.tbs_lookup(i_tbs, grant.n_prb_alloc) if i_tbs >= 0 else 0
+            is_retx, tbs = self.harq.classify(a.rnti, grant.harq_pid, q,
+                                              ndi, tbs, tti)
+            qms.append(qm)
+            tbss.append(tbs)
+            keys.append(self.harq.buffer_key(a.rnti, grant.harq_pid, q))
+        if min(tbss) <= 0:
+            return
+        res = pdsch_rx.decode_grant_mimo(
+            out["grids"], out["h"], out["noise_var"], gi, self.cell, sf, cfi,
+            rnti=a.rnti, prb_mask=grant.prb_mask, qms=tuple(qms),
+            tbss=tuple(tbss), tm=tm, pmi=pmi if pmi is not None else 0,
+            rvs=(grant.rv, grant.rv2),
+            soft_buffers=self.soft_buffers, harq_keys=tuple(keys))
+        st = self.mcs.stat_dl(a.rnti)
+        st.last_seen_tti = tti
+        for q, r in enumerate(res):
+            if r.crc_ok:
+                st.success += 1
+                payload = np.packbits(r.tb_bits).tobytes()
+                self._emit_pdsch(a, payload, sfn, sf, crc_ok=True, retx=0)
+            else:
+                st.fail += 1
+            self.results.append(AcceptedPdsch(
+                dci=a, crc_ok=r.crc_ok, tbs=r.tbs,
+                payload=(np.packbits(r.tb_bits).tobytes()
+                         if r.crc_ok else None),
+                is_retx=False,
+                table=trackers.McsTable.QAM256 if use256
+                else trackers.McsTable.QAM64))
 
     def _handle_rar(self, payload: bytes, sfn: int, sf: int):
         """RAR: activate T-CRNTIs (RM_ACT_RAR) + queue UL grants

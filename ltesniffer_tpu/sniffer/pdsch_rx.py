@@ -95,47 +95,106 @@ def decode_grant(grids, h, noise_var, b: int, cell: CellConfig, sf_idx: int,
     llr = np.asarray(fn(gflat, hflat, noise_var[b], jnp.asarray(idx),
                         jnp.asarray(np.uint32(c_init))))[:G]
 
-    # --- segmentation + de-rate-match (host) ------------------------------
+    return _decode_tb_from_llrs(llr, rnti, tbs, qm, rv, n_re, soft_buffers,
+                                harq_key, n_iter)
+
+
+# ---------------------------------------------------------------------------
+# Spatial multiplexing (TM3/TM4): two codewords over two layers
+# ---------------------------------------------------------------------------
+@functools.lru_cache(maxsize=64)
+def _eq_demap_mimo_fn(cell: CellConfig, qm0: int, qm1: int, n_re_pad: int,
+                      tm: int, pmi: int):
+    """Jitted 2-layer equalize + per-codeword demap/descramble."""
+    from ltesniffer_tpu.kernels import mimo as mimo_mod
+
+    @jax.jit
+    def run(grid_flat, h_flat, noise_var, re_idx, c_init0, c_init1):
+        y = grid_flat[:, re_idx][None]               # (1, RX, n)
+        hh = h_flat[:, :, re_idx][None]              # (1, RX, P, n)
+        nv = noise_var[None]
+        if tm == 4:
+            he = mimo_mod.effective_channel_tm4(hh, pmi, 2)
+        else:
+            he = mimo_mod.effective_channel_tm3(hh)
+        x = mimo_mod.mmse_2layer(y[:, :, :], he, nv)[0]   # (2, n)
+        outs = []
+        for q, (qm, ci) in enumerate(((qm0, c_init0), (qm1, c_init1))):
+            llr = demapper.llr(x[q], qm)
+            scr = sequences.gold_sequence_jax(ci, n_re_pad * qm)
+            outs.append(llr * (1.0 - 2.0 * scr.astype(jnp.float32)))
+        return outs
+
+    return run
+
+
+def decode_grant_mimo(grids, h, noise_var, b: int, cell: CellConfig,
+                      sf_idx: int, cfi: int, rnti: int, prb_mask: np.ndarray,
+                      qms, tbss, tm: int, pmi: int = 0, rvs=(0, 0),
+                      soft_buffers=None, harq_keys=(None, None),
+                      n_iter: int = 8):
+    """Decode a 2-codeword spatial-multiplexed grant.  Returns per-codeword
+    PdschResult list (capability parity: `DL_Sniffer_PDSCH.cc` TM3/TM4 path)."""
+    re_idx = pdsch_mod.grant_re_indices(cell, sf_idx, cfi, prb_mask)
+    n_re = len(re_idx)
+    n_pad = _bucket(n_re)
+    idx = np.full(n_pad, re_idx[-1], dtype=np.int32)
+    idx[:n_re] = re_idx
+    ci = [pdsch_mod.scrambling_cinit(rnti, q, sf_idx, cell.n_id_cell)
+          for q in (0, 1)]
+    fn = _eq_demap_mimo_fn(cell, qms[0], qms[1], n_pad, tm, pmi)
+    gflat = grids[b].reshape(grids.shape[1], -1)
+    hflat = h[b].reshape(h.shape[1], h.shape[2], -1)
+    llrs = fn(gflat, hflat, noise_var[b], jnp.asarray(idx),
+              jnp.asarray(np.uint32(ci[0])), jnp.asarray(np.uint32(ci[1])))
+    results = []
+    for q in (0, 1):
+        llr = np.asarray(llrs[q])[:n_re * qms[q]]
+        results.append(_decode_tb_from_llrs(
+            llr, rnti, tbss[q], qms[q], rvs[q], n_re,
+            soft_buffers, harq_keys[q], n_iter))
+    return results
+
+
+def _decode_tb_from_llrs(llr, rnti, tbs, qm, rv, n_re, soft_buffers,
+                         harq_key, n_iter) -> PdschResult:
+    """Shared backend: segmented de-rate-match + turbo + CRC."""
+    if tbs <= 0:
+        return PdschResult(rnti, tbs, False, None, [], [], n_re)
+    G = n_re * qm
     seg = turbo_mod.segment_sizes(tbs)
     es = pdsch_mod.cb_rate_match_sizes(G, seg.C, qm)
     d_llrs = []
     off = 0
-    for ci, (K, E) in enumerate(zip(seg.K, es)):
-        F = seg.F if ci == 0 else 0
+    for ci_, (K, E) in enumerate(zip(seg.K, es)):
+        F = seg.F if ci_ == 0 else 0
         pos = turbo_mod.derm_positions(K, F, E, rv)
         d = np.zeros(3 * (K + 4), dtype=np.float32)
         np.add.at(d, pos, llr[off:off + E])
         d = d.reshape(3, K + 4)
-        # filler bits are known zeros
         if F:
             d[0, :F] = 1e4
             d[1, :F] = 1e4
         off += E
         if soft_buffers is not None and harq_key is not None:
-            buf = soft_buffers.setdefault((harq_key, ci),
-                                          np.zeros_like(d))
+            buf = soft_buffers.setdefault((harq_key, ci_), np.zeros_like(d))
             buf += d
             d = buf.copy()
         d_llrs.append(d)
-
-    # --- turbo decode (device, grouped by K) ------------------------------
-    by_k: Dict[int, List[int]] = {}
-    for ci, K in enumerate(seg.K):
-        by_k.setdefault(K, []).append(ci)
-    bits_per_cb: List[Optional[np.ndarray]] = [None] * seg.C
+    by_k = {}
+    for ci_, K in enumerate(seg.K):
+        by_k.setdefault(K, []).append(ci_)
+    bits_per_cb = [None] * seg.C
     for K, cis in by_k.items():
-        batch = jnp.asarray(np.stack([d_llrs[ci] for ci in cis]))
+        batch = jnp.asarray(np.stack([d_llrs[c] for c in cis]))
         bits, _ = kturbo.make_decoder(K, n_iter)(batch)
         bits = np.asarray(bits)
-        for j, ci in enumerate(cis):
-            bits_per_cb[ci] = bits[j]
-
-    # --- CRC checks + TB assembly ----------------------------------------
-    cb_ok = []
-    payload_parts = []
-    for ci, K in enumerate(seg.K):
-        blk = bits_per_cb[ci]
-        F = seg.F if ci == 0 else 0
+        for j, c in enumerate(cis):
+            bits_per_cb[c] = bits[j]
+    cb_ok, parts = [], []
+    for ci_, K in enumerate(seg.K):
+        blk = bits_per_cb[ci_]
+        F = seg.F if ci_ == 0 else 0
         if seg.C > 1:
             ok = crc.crc_bits(blk, crc.CRC24B).sum() == 0
             data = blk[F:K - turbo_mod.SEG_CRC]
@@ -143,12 +202,11 @@ def decode_grant(grids, h, noise_var, b: int, cell: CellConfig, sf_idx: int,
             ok = True
             data = blk[F:]
         cb_ok.append(bool(ok))
-        payload_parts.append(data)
-    tb_with_crc = np.concatenate(payload_parts)[:seg.B]
-    tb_ok = (all(cb_ok)
-             and crc.crc_bits(tb_with_crc, crc.CRC24A).sum() == 0)
+        parts.append(data)
+    tb_with_crc = np.concatenate(parts)[:seg.B]
+    tb_ok = all(cb_ok) and crc.crc_bits(tb_with_crc, crc.CRC24A).sum() == 0
     tb_bits = tb_with_crc[:tbs] if tb_ok else None
     if tb_ok and soft_buffers is not None and harq_key is not None:
-        for ci in range(seg.C):
-            soft_buffers.pop((harq_key, ci), None)
+        for ci_ in range(seg.C):
+            soft_buffers.pop((harq_key, ci_), None)
     return PdschResult(rnti, tbs, bool(tb_ok), tb_bits, cb_ok, d_llrs, n_re)

@@ -194,3 +194,40 @@ def add_pbch(g: np.ndarray, cell: CellConfig, sfn: int):
     flat = g.reshape(g.shape[0], -1)
     for p in range(min(cell.nof_ports, 2)):
         flat[p, re_idx] = per_port[p]
+
+
+def add_pdsch_mimo(g: np.ndarray, cell: CellConfig, sf_idx: int, cfi: int,
+                   rnti: int, prb_mask: np.ndarray, qms, tbs_bits,
+                   tm: int, pmi: int = 0, rvs=(0, 0)):
+    """Spatial-multiplexed PDSCH: 2 codewords -> 2 layers -> 2 ports.
+
+    tm: 3 (open-loop CDD) or 4 (closed-loop, ``pmi`` codebook index).
+    qms/tbs_bits/rvs: per-codeword modulation order, TB bits, rv.
+    """
+    from ltesniffer_tpu.phy import pdsch as pdsch_mod
+    from ltesniffer_tpu.phy import sequences as seq_mod
+    from ltesniffer_tpu.kernels import mimo as mimo_mod
+    assert cell.nof_ports == 2
+    re_idx = pdsch_mod.grant_re_indices(cell, sf_idx, cfi, prb_mask)
+    n_re = len(re_idx)
+    layers = []
+    for q, (qm, tb, rv) in enumerate(zip(qms, tbs_bits, rvs)):
+        G = n_re * qm
+        coded, _ = encode_pdsch_bits(tb, qm, G, rv)
+        c_init = pdsch_mod.scrambling_cinit(rnti, q, sf_idx, cell.n_id_cell)
+        bits = coded ^ seq_mod.gold_sequence(c_init, G)
+        layers.append(modulation.modulate(bits, qm))
+    x = np.stack(layers)                       # (2, n_re)
+    if tm == 4:
+        W = mimo_mod.pmi_matrix_2layer(pmi)    # (ports, layers)
+        ports = W @ x
+    else:  # TM3 large-delay CDD
+        U = mimo_mod._U_CDD
+        Wm = mimo_mod._W_CDD
+        s = 1.0 - 2.0 * (np.arange(n_re) % 2)
+        ux = U @ x                             # (2, n_re)
+        ux[1] *= s                             # D(i)
+        ports = Wm @ ux
+    flat = g.reshape(g.shape[0], -1)
+    for p in range(2):
+        flat[p, re_idx] = ports[p]
