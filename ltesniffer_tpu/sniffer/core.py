@@ -362,3 +362,124 @@ class LTESnifferCore:
             "active_rntis": len(self.rm.active_set()),
             "search_stats": dataclasses.asdict(self.search.stats),
         }
+
+
+# ---------------------------------------------------------------------------
+# UL mode: dual-stream (DL + UL carrier) sniffing
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass
+class AcceptedPusch:
+    rnti: int
+    sfn: int
+    sf_idx: int
+    crc_ok: bool
+    tbs: int
+    payload: Optional[bytes]
+    snr_db: float
+    ta_us: float
+    table: trackers.McsTable
+    from_rar: bool
+
+
+class LTESnifferCoreUL(LTESnifferCore):
+    """DL+UL mode: the DL stream drives the blind search; DCI0/RAR grants
+    apply to the UL stream 4/6 subframes later (`SubframeWorker::run_ul_mode`
+    + `PUSCH_Decoder::decode`, SURVEY.md §3.3)."""
+
+    def __init__(self, cfg: SnifferConfig, cyclic_shift_cfg: int = 0):
+        super().__init__(cfg)
+        from . import pusch_rx
+        self.ul_frontend = pusch_rx.make_ul_frontend(self.cell)
+        self.cyclic_shift_cfg = cyclic_shift_cfg
+        self.ul_results: List[AcceptedPusch] = []
+        self.ul_soft_buffers: Dict = {}
+
+    def run_dual_samples(self, dl_samples: np.ndarray, ul_samples: np.ndarray,
+                         sf_idx0: int = 0,
+                         max_subframes: Optional[int] = None):
+        n = self.cell.sf_len
+        total = min(len(dl_samples), len(ul_samples)) // n
+        if max_subframes is not None:
+            total = min(total, max_subframes)
+        dl = dl_samples[:total * n].reshape(total, 1, n)
+        ul = ul_samples[:total * n].reshape(total, 1, n)
+        sf_idx = (sf_idx0 + np.arange(total)) % 10
+        for a in range(0, total, self.cfg.batch_size):
+            b = min(a + self.cfg.batch_size, total)
+            self._process_dual(dl[a:b], ul[a:b], sf_idx[a:b].astype(np.int32))
+        return self.ul_results
+
+    def _process_dual(self, dl_frames, ul_frames, sf_idx):
+        import jax.numpy as jnp
+        ul_grids = np.asarray(self.ul_frontend(
+            jnp.asarray(ul_frames.astype(np.complex64))))
+        # process DL batch with a hook that decodes UL at each subframe
+        idx_holder = {"i": 0}
+
+        def hook(ctx):
+            i = idx_holder["i"]
+            tti = trackers.tti_of(ctx["sfn"], ctx["sf"])
+            for g in self.ulsche.pop(tti):
+                self._decode_ul_grant(ul_grids[i], ctx["sfn"], ctx["sf"], g)
+            idx_holder["i"] += 1
+
+        old_hook = self.on_subframe
+        self.on_subframe = hook
+        try:
+            self.process_batch(dl_frames, sf_idx)
+        finally:
+            self.on_subframe = old_hook
+
+    def _decode_ul_grant(self, ul_grid, sfn: int, sf: int,
+                         g: trackers.UlGrantPending):
+        from . import pusch_rx
+        from ltesniffer_tpu.phy import tables as tbl
+        known = self.mcs.ul_table_of(g.rnti)
+        if known == trackers.McsTable.UNKNOWN:
+            cascade = [("16qam", trackers.McsTable.UL_16QAM),
+                       ("64qam", trackers.McsTable.UL_64QAM),
+                       ("256qam", trackers.McsTable.UL_256QAM)]
+        else:
+            cascade = [({trackers.McsTable.UL_16QAM: "16qam",
+                         trackers.McsTable.UL_64QAM: "64qam",
+                         trackers.McsTable.UL_256QAM: "256qam"}[known], known)]
+        tried_qm = set()
+        res = None
+        used = cascade[0][1]
+        for tname, tenum in cascade:
+            qm, i_tbs = tbl.ul_mcs_to_qm_itbs(g.mcs, tname)
+            if i_tbs < 0:
+                continue
+            if qm in tried_qm:   # tables agree at this mcs -> same decode
+                continue
+            tried_qm.add(qm)
+            tbs = tbl.tbs_lookup(i_tbs, g.n_prb)
+            r = pusch_rx.decode_grant_ul(
+                ul_grid, self.cell, sf, g.rnti, g.prb_start, g.n_prb, qm,
+                tbs, cyclic_shift_cfg=self.cyclic_shift_cfg,
+                dmrs_field=g.dmrs_cs)
+            res = r
+            used = tenum
+            if r.crc_ok:
+                if known == trackers.McsTable.UNKNOWN:
+                    self.mcs.learn_ul_table(g.rnti, tenum)
+                break
+        if res is None:
+            return
+        st = self.mcs.stat_ul(g.rnti)
+        st.last_seen_tti = trackers.tti_of(sfn, sf)
+        if res.crc_ok:
+            st.success += 1
+        elif res.snr_db >= 1.0:   # UL stats gate (`UL_Sniffer_PUSCH.cc:572`)
+            st.fail += 1
+        payload = None
+        if res.crc_ok:
+            payload = np.packbits(res.tb_bits).tobytes()
+            if self.pcap:
+                self.pcap.write_pdu(payload, rnti=g.rnti,
+                                    direction=pcap_mod.DIRECTION_UPLINK,
+                                    sfn=sfn, sf_idx=sf, crc_ok=True)
+        self.ul_results.append(AcceptedPusch(
+            rnti=g.rnti, sfn=sfn, sf_idx=sf, crc_ok=res.crc_ok, tbs=res.tbs,
+            payload=payload, snr_db=res.snr_db, ta_us=res.ta_us,
+            table=used, from_rar=g.from_rar))

@@ -1,0 +1,94 @@
+"""PUSCH uplink chain e2e tests: SC-FDMA TX -> DMRS chest -> decode."""
+import numpy as np
+import jax.numpy as jnp
+
+from ltesniffer_tpu.phy.params import CellConfig
+from ltesniffer_tpu.phy import tables, ul_dmrs
+from ltesniffer_tpu.testing import encoder
+from ltesniffer_tpu.sniffer import pusch_rx
+
+CELL = CellConfig(n_id_cell=147, n_prb=50, nof_ports=2, nof_rx_ant=1)
+
+
+def _tx_rx(grants, sf_idx, rng, noise=0.03, cs_cfg=0):
+    g = encoder.build_ul_subframe(CELL, sf_idx, grants, cyclic_shift_cfg=cs_cfg)
+    # UL channel: single UE antenna -> single RX port
+    h = encoder.flat_channel(CELL, 1, rng)[:, :1]   # (1,1,14,n_sc)
+    rx = np.einsum("rpls,pls->rls", h, g)
+    rx = rx + noise / np.sqrt(2) * (rng.standard_normal(rx.shape)
+                                    + 1j * rng.standard_normal(rx.shape))
+    iq = encoder.ul_subframe_iq(CELL, rx.astype(np.complex64))
+    fe = pusch_rx.make_ul_frontend(CELL)
+    grid = fe(jnp.asarray(iq[None].astype(np.complex64)))
+    return np.asarray(grid[0])
+
+
+def _grant(rnti, prb_start, n_prb, qm, i_tbs, rng, **kw):
+    tbs = tables.tbs_lookup(i_tbs, n_prb)
+    tb = rng.integers(0, 2, tbs).astype(np.uint8)
+    return dict(rnti=rnti, prb_start=prb_start, n_prb=n_prb, qm=qm,
+                tb_bits=tb, tbs=tbs, **kw)
+
+
+def test_pusch_qpsk_roundtrip():
+    rng = np.random.default_rng(0)
+    gr = _grant(0x7101, 4, 10, 2, 6, rng)
+    grid = _tx_rx([gr], 2, rng)
+    res = pusch_rx.decode_grant_ul(grid, CELL, 2, gr["rnti"], 4, 10, 2,
+                                   gr["tbs"])
+    assert res.crc_ok
+    np.testing.assert_array_equal(res.tb_bits, gr["tb_bits"])
+    assert res.snr_db > 15
+    assert abs(res.ta_us) < 1.0
+
+
+def test_pusch_16qam_and_64qam():
+    rng = np.random.default_rng(1)
+    for qm, i_tbs in ((4, 12), (6, 20)):
+        gr = _grant(0x7202, 10, 20, qm, i_tbs, rng)
+        grid = _tx_rx([gr], 4, rng, noise=0.02)
+        res = pusch_rx.decode_grant_ul(grid, CELL, 4, gr["rnti"], 10, 20, qm,
+                                       gr["tbs"])
+        assert res.crc_ok, qm
+        np.testing.assert_array_equal(res.tb_bits, gr["tb_bits"])
+
+
+def test_pusch_two_ues_same_subframe():
+    rng = np.random.default_rng(2)
+    g1 = _grant(0x7303, 0, 8, 2, 5, rng)
+    g2 = _grant(0x7404, 20, 12, 4, 10, rng, dmrs_field=3)
+    grid = _tx_rx([g1, g2], 7, rng)
+    r1 = pusch_rx.decode_grant_ul(grid, CELL, 7, g1["rnti"], 0, 8, 2,
+                                  g1["tbs"])
+    r2 = pusch_rx.decode_grant_ul(grid, CELL, 7, g2["rnti"], 20, 12, 4,
+                                  g2["tbs"], dmrs_field=3)
+    assert r1.crc_ok and r2.crc_ok
+    np.testing.assert_array_equal(r1.tb_bits, g1["tb_bits"])
+    np.testing.assert_array_equal(r2.tb_bits, g2["tb_bits"])
+
+
+def test_pusch_invalid_prb_count_rejected():
+    rng = np.random.default_rng(3)
+    # 7 PRB is not a valid DFT size (2^a 3^b 5^c rule)
+    res = pusch_rx.decode_grant_ul(
+        np.zeros((1, 14, CELL.n_sc), np.complex64), CELL, 0, 1, 0, 7, 2, 100)
+    assert not res.crc_ok and res.snr_db < -90
+
+
+def test_pusch_wrong_dmrs_shift_fails():
+    rng = np.random.default_rng(4)
+    gr = _grant(0x7505, 4, 10, 2, 6, rng, dmrs_field=0)
+    grid = _tx_rx([gr], 2, rng)
+    res = pusch_rx.decode_grant_ul(grid, CELL, 2, gr["rnti"], 4, 10, 2,
+                                   gr["tbs"], dmrs_field=5)
+    assert not res.crc_ok
+
+
+def test_dmrs_properties():
+    # unit modulus; distinct across groups and shifts; slot-dependent n_PN
+    a = ul_dmrs.pusch_dmrs(10, 0, 147, 0, 0)
+    b = ul_dmrs.pusch_dmrs(10, 0, 147, 0, 3)
+    c = ul_dmrs.pusch_dmrs(10, 1, 147, 0, 0)
+    np.testing.assert_allclose(np.abs(a), 1.0, atol=1e-5)
+    assert np.abs(np.vdot(a, b)) / len(a) < 0.5
+    assert not np.allclose(a, c)

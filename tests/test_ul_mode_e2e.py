@@ -1,0 +1,117 @@
+"""Dual-stream UL mode e2e: DL DCI0 at t -> PUSCH decode at t+4."""
+import numpy as np
+
+from ltesniffer_tpu.phy.params import CellConfig
+from ltesniffer_tpu.phy import dci as dci_mod, ra, tables, search_space
+from ltesniffer_tpu.io import pcap
+from ltesniffer_tpu.testing import encoder
+from ltesniffer_tpu.sniffer import core, trackers
+
+CELL = CellConfig(n_id_cell=147, n_prb=50, nof_ports=2, nof_rx_ant=1)
+CFI = 2
+
+
+def _nof_cce():
+    from ltesniffer_tpu.phy import grid as grid_mod
+    return grid_mod.control_region(CELL, CFI)["nof_pdcch_regs"] // 9
+
+
+def test_dci0_to_pusch_chain(tmp_path):
+    rng = np.random.default_rng(0)
+    rnti = 0x2e2e
+    ul_mcs = 6           # QPSK region: all UL tables agree
+    prb_start, n_prb = 5, 10
+    qm, i_tbs = tables.ul_mcs_to_qm_itbs(ul_mcs)
+    tbs = tables.tbs_lookup(i_tbs, n_prb)
+    tb = rng.integers(0, 2, tbs).astype(np.uint8)
+
+    h_dl = encoder.flat_channel(CELL, 1, rng)
+    n_sf = 10
+    dl_frames, ul_frames = [], []
+    dci0_sent_at = 2
+    for j in range(n_sf):
+        txs = []
+        if j == dci0_sent_at:
+            # place format 0 DCI in the UE search space
+            cands = search_space.ue_candidates(rnti, j, _nof_cce())
+            l, ncce = [c for c in cands if c[0] == 2][0]
+            d = dci_mod.Dci(fmt="0", rnti=rnti, fields=dict(
+                flag0_1a=0, hopping=0,
+                riv=ra.start_len_to_riv(prb_start, n_prb, 50),
+                mcs=ul_mcs, ndi=1, tpc=0, dmrs_cs=2, cqi_request=0))
+            txs.append(encoder.TxDci(dci=d, L=l, ncce=ncce))
+        g = encoder.build_control_subframe(CELL, j, CFI, txs)
+        rxg = encoder.apply_channel(g, h_dl, 0.04, rng)
+        dl_frames.append(encoder.subframe_iq(CELL, rxg)[0])
+
+        # UL subframe: PUSCH appears at dci0_sent_at + 4
+        if j == dci0_sent_at + 4:
+            ug = encoder.build_ul_subframe(CELL, j, [dict(
+                rnti=rnti, prb_start=prb_start, n_prb=n_prb, qm=qm,
+                tb_bits=tb, dmrs_field=2)])
+        else:
+            ug = np.zeros((1, 14, CELL.n_sc), np.complex64)
+        ul_noise = 0.03
+        un = ug + ul_noise / np.sqrt(2) * (
+            rng.standard_normal(ug.shape) + 1j * rng.standard_normal(ug.shape))
+        ul_frames.append(encoder.ul_subframe_iq(CELL, un.astype(np.complex64))[0])
+
+    cfg = core.SnifferConfig(cell=CELL, batch_size=4,
+                             pcap_path=str(tmp_path / "ul.pcap"))
+    c = core.LTESnifferCoreUL(cfg)
+    c.run_dual_samples(np.concatenate(dl_frames), np.concatenate(ul_frames))
+    c.close()
+
+    assert len(c.ul_results) == 1
+    r = c.ul_results[0]
+    assert r.rnti == rnti and r.crc_ok
+    assert r.sf_idx == dci0_sent_at + 4
+    np.testing.assert_array_equal(
+        np.unpackbits(np.frombuffer(r.payload, np.uint8))[:tbs],
+        tb)
+    assert r.snr_db > 10 and abs(r.ta_us) < 1.0
+    # UL pcap record present with uplink direction
+    recs = pcap.read_pcap(str(tmp_path / "ul.pcap"))
+    ul_recs = [x for x in recs if x["direction"] == pcap.DIRECTION_UPLINK]
+    assert len(ul_recs) == 1 and ul_recs[0]["rnti"] == rnti
+
+
+def test_ul_table_cascade_learns_16qam(tmp_path):
+    """mcs in the 16QAM region: cascade tries 16qam first and learns it."""
+    rng = np.random.default_rng(1)
+    rnti = 0x3f3f
+    ul_mcs = 14          # Qm=4 in 8.6.1-1
+    prb_start, n_prb = 0, 8
+    qm, i_tbs = tables.ul_mcs_to_qm_itbs(ul_mcs)
+    assert qm == 4
+    tbs = tables.tbs_lookup(i_tbs, n_prb)
+    tb = rng.integers(0, 2, tbs).astype(np.uint8)
+
+    cfg = core.SnifferConfig(cell=CELL, batch_size=8)
+    c = core.LTESnifferCoreUL(cfg)
+    # inject the grant directly (bypassing the DCI path already tested)
+    tti = trackers.tti_of(0, 1)
+    c.ulsche.pending[(tti + 4) % trackers.TTI_MAX] = [trackers.UlGrantPending(
+        rnti=rnti, tti_apply=0, mcs=ul_mcs, prb_start=prb_start,
+        n_prb=n_prb, ndi=0, dmrs_cs=1)]
+
+    dl_frames, ul_frames = [], []
+    for j in range(8):
+        g = encoder.build_control_subframe(CELL, j, CFI, [])
+        h_dl = encoder.flat_channel(CELL, 1, rng)
+        dl_frames.append(encoder.subframe_iq(
+            CELL, encoder.apply_channel(g, h_dl, 0.04, rng))[0])
+        if j == 5:
+            ug = encoder.build_ul_subframe(CELL, j, [dict(
+                rnti=rnti, prb_start=prb_start, n_prb=n_prb, qm=qm,
+                tb_bits=tb, dmrs_field=1)])
+        else:
+            ug = np.zeros((1, 14, CELL.n_sc), np.complex64)
+        un = ug + 0.02 / np.sqrt(2) * (rng.standard_normal(ug.shape)
+                                       + 1j * rng.standard_normal(ug.shape))
+        ul_frames.append(encoder.ul_subframe_iq(CELL, un.astype(np.complex64))[0])
+
+    c.run_dual_samples(np.concatenate(dl_frames), np.concatenate(ul_frames))
+    c.close()
+    assert len(c.ul_results) == 1 and c.ul_results[0].crc_ok
+    assert c.mcs.ul_table_of(rnti) == trackers.McsTable.UL_16QAM
