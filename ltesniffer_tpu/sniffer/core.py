@@ -28,7 +28,7 @@ from ltesniffer_tpu.phy.params import (CellConfig, SIRNTI, PRNTI,
 from ltesniffer_tpu.io import iq as iq_mod, pcap as pcap_mod
 from ltesniffer_tpu.mac_rrc import mac as mac_mod
 from . import (dci_search, frontend, pbch_rx, pdcch_rx, pdsch_rx,
-               rnti_manager, sync, trackers)
+               rnti_manager, security_api, sync, trackers)
 
 
 @dataclasses.dataclass
@@ -71,6 +71,8 @@ class LTESnifferCore:
         self.pcap = (pcap_mod.MacLtePcapWriter(cfg.pcap_path)
                      if cfg.pcap_path else None)
         self.api_records: List[dict] = []
+        self.api = (security_api.SecurityApi(cfg.api_pcap_path)
+                    if cfg.api_mode >= 0 else None)
         self.results: List[AcceptedPdsch] = []
         self.on_subframe = None   # hook(sf_ctx) for extensions
         self._searchers = {}
@@ -259,6 +261,8 @@ class LTESnifferCore:
                              retx=1 if is_retx else 0)
             if RARNTI_START <= a.rnti <= RARNTI_END:
                 self._handle_rar(payload, sfn, sf)
+            if self.api is not None:
+                self._api_dl(a.rnti, payload, sfn, sf)
         st = self.mcs.stat_dl(a.rnti)
         st.last_seen_tti = tti
         if is_retx:
@@ -321,6 +325,29 @@ class LTESnifferCore:
                 is_retx=False,
                 table=trackers.McsTable.QAM256 if use256
                 else trackers.McsTable.QAM64))
+
+    def _api_dl(self, rnti: int, payload: bytes, sfn: int, sf: int):
+        """Security-API extraction from DL MAC PDUs
+        (`run_api_dl_mode`, `DL_Sniffer_PDSCH.cc:804-879`)."""
+        if rnti == PRNTI:
+            self.api.on_paging(payload, sfn, sf)
+            return
+        if rnti in (SIRNTI,) or RARNTI_START <= rnti <= RARNTI_END:
+            return
+        try:
+            subs = mac_mod.parse_mac_pdu(payload)
+        except Exception:
+            return
+        for s in subs:
+            if s.lcid == mac_mod.LCID_CON_RES and len(s.payload) >= 6:
+                self.api.on_con_res(rnti, s.payload[:6], sfn, sf)
+            elif s.lcid == mac_mod.LCID_CCCH:
+                setup = self.api.on_dl_ccch(rnti, s.payload, sfn, sf)
+                if setup is not None:
+                    self.mcs.set_ue_config(rnti, trackers.UeConfig(
+                        p_a=setup.p_a_db, uci_offset_ack=setup.ack_offset,
+                        uci_offset_ri=setup.ri_offset,
+                        uci_offset_cqi=setup.cqi_offset))
 
     def _handle_rar(self, payload: bytes, sfn: int, sf: int):
         """RAR: activate T-CRNTIs (RM_ACT_RAR) + queue UL grants
@@ -479,7 +506,38 @@ class LTESnifferCoreUL(LTESnifferCore):
                 self.pcap.write_pdu(payload, rnti=g.rnti,
                                     direction=pcap_mod.DIRECTION_UPLINK,
                                     sfn=sfn, sf_idx=sf, crc_ok=True)
+            if self.api is not None:
+                self._api_ul(g.rnti, payload, sfn, sf)
         self.ul_results.append(AcceptedPusch(
             rnti=g.rnti, sfn=sfn, sf_idx=sf, crc_ok=res.crc_ok, tbs=res.tbs,
             payload=payload, snr_db=res.snr_db, ta_us=res.ta_us,
             table=used, from_rar=g.from_rar))
+
+
+def _strip_rlc(sdu: bytes):
+    """Candidate RLC-header strips for UL DCCH SDUs: AM (2 bytes), UM 5-bit
+    (1 byte), or transparent. The reference parses RLC AM explicitly
+    (`UL_Sniffer_PUSCH.cc:311-374` rlc_am usage)."""
+    return (sdu, sdu[1:], sdu[2:])
+
+
+def _coreul_api_ul(self, rnti: int, payload: bytes, sfn: int, sf: int):
+    try:
+        subs = mac_mod.parse_mac_pdu(payload, uplink=True)
+    except Exception:
+        return
+    for s in subs:
+        if s.lcid == mac_mod.LCID_CCCH:
+            self.api.on_ul_ccch(rnti, s.payload, sfn, sf)
+        elif s.lcid in (1, 2):   # SRB1/SRB2 DCCH
+            for cand in _strip_rlc(s.payload):
+                before = len(self.api.records.get(rnti).events) \
+                    if rnti in self.api.records else 0
+                self.api.on_ul_dcch(rnti, cand, sfn, sf)
+                after = len(self.api.records.get(rnti).events) \
+                    if rnti in self.api.records else 0
+                if after > before:
+                    break
+
+
+LTESnifferCoreUL._api_ul = _coreul_api_ul
