@@ -42,6 +42,7 @@ class SnifferConfig:
     decode_pdsch: bool = True
     api_mode: int = -1
     max_harq_retx_buffers: int = 4096
+    use_native: bool = True   # C++ resolver/RNTI manager when available
 
 
 @dataclasses.dataclass
@@ -58,8 +59,21 @@ class LTESnifferCore:
     def __init__(self, cfg: SnifferConfig):
         self.cfg = cfg
         self.cell = cfg.cell
-        self.rm = rnti_manager.default_manager(cfg.histogram_threshold)
-        self.search = dci_search.DciBlindSearch(self.cell, self.rm)
+        self.rm = None
+        self.search = None
+        if cfg.use_native:
+            try:
+                from ltesniffer_tpu import native
+                if native.available():
+                    self.rm = native.default_native_manager(
+                        cfg.histogram_threshold)
+                    self.search = native.NativeDciBlindSearch(self.cell,
+                                                              self.rm)
+            except Exception:
+                self.rm = None
+        if self.rm is None:
+            self.rm = rnti_manager.default_manager(cfg.histogram_threshold)
+            self.search = dci_search.DciBlindSearch(self.cell, self.rm)
         self.mcs = trackers.MCSTracking()
         self.harq = trackers.HarqEntity()
         self.ulsche = trackers.ULSchedule()
