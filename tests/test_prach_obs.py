@@ -1,0 +1,81 @@
+import io
+
+import numpy as np
+
+from ltesniffer_tpu.phy.params import CellConfig
+from ltesniffer_tpu.sniffer import observability, prach_rx, trackers
+
+CELL = CellConfig(n_id_cell=21, n_prb=50, nof_ports=2)
+
+
+def test_prach_detect_single_preamble():
+    rng = np.random.default_rng(0)
+    u, shift, n_cs = 129, 3 * 13, 13
+    tx = prach_rx.prach_tx(CELL, u, shift)
+    cp = len(tx) - int(round(CELL.srate * prach_rx.T_SEQ))
+    sig = tx[cp:]  # detector window starts at the sequence
+    noisy = sig + 0.05 * (rng.standard_normal(len(sig))
+                          + 1j * rng.standard_normal(len(sig)))
+    dets = prach_rx.detect(noisy.astype(np.complex64), CELL, roots=[u, 400],
+                           n_cs=n_cs)
+    assert any(d.root == u and d.preamble == 3 for d in dets)
+    assert not any(d.root == 400 and d.peak > 50 for d in dets)
+
+
+def test_prach_no_false_alarm_on_noise():
+    rng = np.random.default_rng(1)
+    n = int(round(CELL.srate * prach_rx.T_SEQ))
+    noise = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+             ).astype(np.complex64)
+    dets = prach_rx.detect(noise, CELL, roots=[129], n_cs=13, threshold=8.0)
+    assert len(dets) <= 2   # median-based threshold keeps false alarms rare
+
+
+def test_prach_timing_advance():
+    rng = np.random.default_rng(2)
+    u, n_cs = 129, 13
+    tx = prach_rx.prach_tx(CELL, u, 0)
+    cp = len(tx) - int(round(CELL.srate * prach_rx.T_SEQ))
+    delay = 40   # samples
+    sig = np.concatenate([np.zeros(delay, np.complex64), tx[cp:]])
+    dets = prach_rx.detect(sig, CELL, roots=[u], n_cs=n_cs)
+    hit = [d for d in dets if d.preamble == 0]
+    assert hit
+    assert abs(hit[0].ta_samples - delay) < 20
+
+
+def test_observability_tables_and_csv(tmp_path):
+    mcs = trackers.MCSTracking()
+    st = mcs.stat_dl(0x1234)
+    st.new_tx, st.success = 10, 9
+    mcs.learn_dl_table(0x1234, trackers.McsTable.QAM256)
+    stu = mcs.stat_ul(0x1234)
+    stu.new_tx, stu.success = 4, 4
+    dl = observability.format_dl_table(mcs)
+    assert "0x1234" in dl and "QAM256" in dl
+    ul = observability.format_ul_table(mcs)
+    assert "0x1234" in ul
+    p = str(tmp_path / "mcs.csv")
+    observability.write_mcs_csv(p, mcs)
+    rows = open(p).read().splitlines()
+    assert len(rows) == 3 and rows[1].startswith("dl,0x1234")
+
+
+def test_heartbeat_and_dci_trace(tmp_path):
+    out = io.StringIO()
+    hb = observability.Heartbeat(out, every=10)
+    for _ in range(9):
+        hb.tick()
+    assert out.getvalue() == ""
+    hb.tick(processed=0, skipped=1)
+    assert "Processed 9/10" in out.getvalue()
+
+    from ltesniffer_tpu.sniffer.dci_search import AcceptedDci
+    tracef = str(tmp_path / "dci.trace")
+    tr = observability.DciTraceFile(tracef)
+    tr.write([AcceptedDci(rnti=0x42, fmt="1A", l=2, ncce=8,
+                          payload=np.zeros(3, np.uint8), histval=7,
+                          sf_idx=3, sfn=100)], timestamp=1.5)
+    tr.close()
+    line = open(tracef).read().strip().split("\t")
+    assert line == ["1.500000", "100", "3", "66", "1A", "8", "4", "7"]
