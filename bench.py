@@ -25,14 +25,16 @@ def main():
     cfi = 3
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 
+    from ltesniffer_tpu.kernels import cplx
     run, st = pdcch_rx.make_pipeline(cell, cfi)
+    run = run.jitted_ri
     rng = np.random.default_rng(0)
     samples = (rng.standard_normal((B, 1, cell.sf_len))
                + 1j * rng.standard_normal((B, 1, cell.sf_len))).astype(np.complex64)
     sf_idx = (np.arange(B) % 10).astype(np.int32)
 
     dev = jax.devices()[0]
-    samples_d = jax.device_put(samples, dev)
+    samples_d = jax.device_put(cplx.to_ri(samples), dev)
     sf_d = jax.device_put(sf_idx, dev)
 
     # compile + warmup; read a value back to force real execution end-to-end

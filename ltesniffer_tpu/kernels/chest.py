@@ -4,35 +4,31 @@ Replaces srsRAN `chest_dl` (LS at CRS + filtering + interpolation, noise/SNR
 estimates) as configured by the reference (`src/src/SubframeWorker.cc:376-399`:
 Gaussian filter, interpolation, SNR/CFO estimates).
 
-TPU-first formulation: all interpolation is expressed as two constant-matrix
+TPU-first formulation: float-pair (re/im) arrays throughout (no complex64 on
+device — see kernels/cplx.py); interpolation is two constant-matrix
 contractions (freq: (n_sc x 2*n_prb) per port, time: (14 x 4)), so the whole
 estimator is a pair of small matmuls per batch — no sequential filtering.
 CRS values per (sf_idx, port, symbol) are precomputed host-side into a
-(10, P, 4, 2*n_prb) constant and gathered by the traced sf_idx.
+(10, P, 4, 2*n_prb, 2) float constant and gathered by the traced sf_idx.
 """
 from __future__ import annotations
 
 import functools
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ltesniffer_tpu.phy import sequences
 from ltesniffer_tpu.phy.params import CellConfig
+from . import cplx
 
 CRS_SYMS = (0, 4, 7, 11)   # ports 0/1, normal CP
 
 
 @functools.lru_cache(maxsize=16)
 def crs_constants(cell: CellConfig):
-    """Static CRS tables.
-
-    Returns (k_pos, values):
-      k_pos:  (P, 4) lists -> (P, 2*n_prb) int subcarrier positions per symbol
-              (same for all 4 CRS symbols of ports 0/1 given vshift)
-      values: (10, P, 4, 2*n_prb) complex64 CRS symbols per subframe index.
-    """
+    """Static CRS tables: k positions (P, 4, n2) and float-pair values
+    (10, P, 4, n2, 2)."""
     P = min(cell.nof_ports, 2)
     n2 = 2 * cell.n_prb
     k_pos = np.zeros((P, 4, n2), dtype=np.int64)
@@ -45,7 +41,7 @@ def crs_constants(cell: CellConfig):
                 slot = 2 * sf + l_sf // 7
                 values[sf, port, si] = sequences.crs_sequence(
                     cell.n_id_cell, slot, l_sf % 7, cell.n_prb)
-    return k_pos, values
+    return k_pos, cplx.to_ri(values)
 
 
 @functools.lru_cache(maxsize=16)
@@ -85,89 +81,71 @@ def interp_matrices(cell: CellConfig):
     return wf, wt
 
 
-# small frequency-domain smoothing of raw LS estimates (reference uses a
-# Gaussian filter; 3-tap here, applied along the pilot axis)
-_SMOOTH = np.array([0.25, 0.5, 0.25], dtype=np.float32)
-
-
 def _smooth_freq(h):
-    """3-tap smoothing along last axis with edge replication."""
-    pad = jnp.concatenate([h[..., :1], h, h[..., -1:]], axis=-1)
-    return (_SMOOTH[0] * pad[..., :-2] + _SMOOTH[1] * pad[..., 1:-1]
-            + _SMOOTH[2] * pad[..., 2:])
+    """3-tap smoothing along the pilot axis (-2; last axis is re/im)."""
+    pad = jnp.concatenate([h[..., :1, :], h, h[..., -1:, :]], axis=-2)
+    return (0.25 * pad[..., :-2, :] + 0.5 * pad[..., 1:-1, :]
+            + 0.25 * pad[..., 2:, :])
 
 
 def estimate(grid, sf_idx, cell: CellConfig):
-    """LS + interpolated channel estimate.
+    """LS + interpolated channel estimate (float-pair arrays).
 
     Args:
-      grid:   (B, RX, 14, n_sc) complex64 resource grids.
-      sf_idx: (B,) int32 subframe indices 0..9 (selects CRS sequences).
+      grid:   (B, RX, 14, n_sc, 2) float32 resource grids.
+      sf_idx: (B,) int32 subframe indices 0..9.
     Returns dict:
-      h:         (B, RX, P, 14, n_sc) complex64
-      noise_var: (B,) float32
-      rsrp:      (B,) float32 (mean |h|^2 at pilots)
-      snr_db:    (B,) float32
+      h:         (B, RX, P, 14, n_sc, 2) float32
+      noise_var / rsrp / snr_db: (B,) float32
     """
-    k_pos, values = crs_constants(cell)
+    k_pos, values_ri = crs_constants(cell)
     wf, wt = interp_matrices(cell)
-    k_pos_j = jnp.asarray(k_pos)           # (P, 4, n2)
-    # complex64 gather by a traced index is unimplemented on the axon TPU
-    # backend: gather real/imag planes as float32 and recombine.
-    vals_ri = jnp.asarray(
-        np.stack([values.real, values.imag], axis=-1).astype(np.float32))
-    vri = vals_ri[sf_idx]                  # (B, P, 4, n2, 2)
-    vals = jax.lax.complex(vri[..., 0], vri[..., 1])
-    wf_j = jnp.asarray(wf)
-    wt_j = jnp.asarray(wt)
+    vals = jnp.asarray(values_ri)[sf_idx]               # (B, P, 4, n2, 2)
 
-    # gather pilot REs: grid (B, RX, 14, n_sc) -> (B, RX, P, 4, n2)
-    sym_idx = jnp.asarray(np.array(CRS_SYMS))           # (4,)
-    g_sym = grid[:, :, sym_idx, :]                      # (B, RX, 4, n_sc)
+    sym_idx = np.array(CRS_SYMS)
+    g_sym = grid[:, :, sym_idx, :, :]                   # (B, RX, 4, n_sc, 2)
+    # gather pilots: expand port axis then take per-port positions
     pil = jnp.take_along_axis(
-        g_sym[:, :, None, :, :],
-        k_pos_j[None, None, :, :, :], axis=-1)          # (B, RX, P, 4, n2)
-    h_ls = pil * jnp.conj(vals[:, None])                # LS estimate
+        g_sym[:, :, None],                              # (B, RX, 1, 4, n_sc, 2)
+        jnp.asarray(k_pos)[None, None, :, :, :, None], axis=-2)
+    h_ls = cplx.cmul_conj(pil, vals[:, None])           # (B, RX, P, 4, n2, 2)
 
     h_sm = _smooth_freq(h_ls)
-    # noise: residual power of LS vs smoothed, scaled (3-tap leaves ~3/8 noise)
     resid = h_ls - h_sm
-    noise_var = jnp.mean(jnp.abs(resid) ** 2, axis=(1, 2, 3, 4)) / 0.375
-    rsrp = jnp.mean(jnp.abs(h_sm) ** 2, axis=(1, 2, 3, 4))
+    noise_var = jnp.mean(cplx.cabs2(resid), axis=(1, 2, 3, 4)) / 0.375
+    rsrp = jnp.mean(cplx.cabs2(h_sm), axis=(1, 2, 3, 4))
     snr_db = 10.0 * jnp.log10(jnp.maximum(rsrp, 1e-12)
                               / jnp.maximum(noise_var, 1e-12))
 
-    # interpolate: freq then time
-    h_f = jnp.einsum("brpts,pks->brptk", h_sm, wf_j)    # (B,RX,P,4,n_sc)
-    h = jnp.einsum("brptk,lt->brplk", h_f, wt_j)        # (B,RX,P,14,n_sc)
+    # interpolate: freq then time (real weights; pair axis rides along)
+    h_f = jnp.einsum("brptsc,pks->brptkc", h_sm, jnp.asarray(wf))
+    h = jnp.einsum("brptkc,lt->brplkc", h_f, jnp.asarray(wt))
     return {"h": h, "noise_var": noise_var, "rsrp": rsrp, "snr_db": snr_db}
 
 
 def equalize_sfbc(y, h, noise_var):
     """Alamouti SFBC combining over adjacent RE pairs (36.211 6.3.4.3).
 
-    y: (..., 2M) received symbols (RX antenna axis at -2: (B, RX, 2M))
-    h: (B, RX, P=2, 2M) channel at those REs.
-    Returns x_hat (B, 2M) normalized symbol estimates.
+    y: (B, RX, 2M, 2); h: (B, RX, P=2, 2M, 2) -> x_hat (B, 2M, 2).
     """
-    y0, y1 = y[..., 0::2], y[..., 1::2]
-    h0 = h[:, :, 0, :]
-    h1 = h[:, :, 1, :]
-    h00, h01 = h0[..., 0::2], h0[..., 1::2]
-    h10, h11 = h1[..., 0::2], h1[..., 1::2]
-    # combine across rx antennas
-    x0 = jnp.sum(jnp.conj(h00) * y0 + h11 * jnp.conj(y1), axis=1)
-    x1 = jnp.sum(jnp.conj(h01) * y1 - h10 * jnp.conj(y0), axis=1)
-    norm = jnp.sum(jnp.abs(h00) ** 2 + jnp.abs(h10) ** 2, axis=1) + noise_var[:, None]
-    x0 = x0 / norm
-    x1 = x1 / norm
-    out = jnp.stack([x0, x1], axis=-1).reshape(y.shape[0], -1)
-    # SFBC tx power split sqrt(2) restore
+    y0, y1 = y[..., 0::2, :], y[..., 1::2, :]
+    h0 = h[:, :, 0]
+    h1 = h[:, :, 1]
+    h00, h01 = h0[..., 0::2, :], h0[..., 1::2, :]
+    h10, h11 = h1[..., 0::2, :], h1[..., 1::2, :]
+    x0 = jnp.sum(cplx.cmul_conj(y0, h00) + cplx.cmul_conj(h11, y1), axis=1)
+    x1 = jnp.sum(cplx.cmul_conj(y1, h01) - cplx.cmul_conj(h10, y0), axis=1)
+    norm = (jnp.sum(cplx.cabs2(h00) + cplx.cabs2(h10), axis=1)
+            + noise_var[:, None])
+    x0 = cplx.cdiv_real(x0, norm)
+    x1 = cplx.cdiv_real(x1, norm)
+    out = jnp.stack([x0, x1], axis=-2)                  # (B, M, 2pair, 2ri)
+    out = out.reshape(y.shape[0], -1, 2)
     return out * np.float32(np.sqrt(2.0))
 
 
 def equalize_port0(y, h, noise_var):
-    """Single-port MMSE: y (B, RX, M), h (B, RX, M) -> (B, M)."""
-    num = jnp.sum(jnp.conj(h) * y, axis=1)
-    den = jnp.sum(jnp.abs(h) ** 2, axis=1) + noise_var[:, None]
-    return num / den
+    """Single-port MMSE: y (B, RX, M, 2), h (B, RX, M, 2) -> (B, M, 2)."""
+    num = jnp.sum(cplx.cmul_conj(y, h), axis=1)
+    den = jnp.sum(cplx.cabs2(h), axis=1) + noise_var[:, None]
+    return cplx.cdiv_real(num, den)

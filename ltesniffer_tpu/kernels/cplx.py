@@ -1,0 +1,94 @@
+"""Float-pair complex arithmetic for the TPU device path.
+
+The axon TPU runtime has no complex64 compute support at all (even a complex
+add fails at execution; see memory note axon-tpu-backend-quirks).  All device
+kernels therefore represent complex tensors as float32 arrays with a
+trailing re/im axis of size 2 — which is also the faster TPU-native design:
+DFTs become MXU matmuls, elementwise complex math becomes plain VPU float
+math, and no XLA complex lowering is involved.
+
+Host boundary: `to_ri` / `from_ri` convert numpy complex64 <-> (..., 2)
+float32 views (zero-copy where possible).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def to_ri(x: np.ndarray) -> np.ndarray:
+    """numpy complex64 -> (..., 2) float32 (host side)."""
+    x = np.ascontiguousarray(x, dtype=np.complex64)
+    return x.view(np.float32).reshape(*x.shape, 2)
+
+
+def from_ri(x: np.ndarray) -> np.ndarray:
+    """(..., 2) float32 -> numpy complex64 (host side)."""
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    return x.view(np.complex64).reshape(x.shape[:-1])
+
+
+def re(x):
+    return x[..., 0]
+
+
+def im(x):
+    return x[..., 1]
+
+
+def make(r, i):
+    return jnp.stack([r, i], axis=-1)
+
+
+def cmul(a, b):
+    """a * b for (..., 2) pairs."""
+    ar, ai = a[..., 0], a[..., 1]
+    br, bi = b[..., 0], b[..., 1]
+    return jnp.stack([ar * br - ai * bi, ar * bi + ai * br], axis=-1)
+
+
+def cmul_conj(a, b):
+    """a * conj(b)."""
+    ar, ai = a[..., 0], a[..., 1]
+    br, bi = b[..., 0], b[..., 1]
+    return jnp.stack([ar * br + ai * bi, ai * br - ar * bi], axis=-1)
+
+
+def conj(a):
+    return jnp.stack([a[..., 0], -a[..., 1]], axis=-1)
+
+
+def cabs2(a):
+    return a[..., 0] * a[..., 0] + a[..., 1] * a[..., 1]
+
+
+def cscale(a, s):
+    """a * real scalar/array s (broadcast over the pair axis)."""
+    return a * s[..., None]
+
+
+def cdiv_real(a, d):
+    """a / real d."""
+    return a / d[..., None]
+
+
+def cmatmul(x, w_re, w_im, contract: str = "last"):
+    """Complex matmul: x (..., K, 2) @ W (K, N) -> (..., N, 2).
+
+    W given as separate real/imag float32 matrices; four real matmuls on
+    the MXU.  `contract='last'` contracts x's axis -2 (the K axis).
+    """
+    xr, xi = x[..., 0], x[..., 1]
+    yr = jnp.matmul(xr, w_re) - jnp.matmul(xi, w_im)
+    yi = jnp.matmul(xr, w_im) + jnp.matmul(xi, w_re)
+    return jnp.stack([yr, yi], axis=-1)
+
+
+def dft_matrices(n_in: int, bins: np.ndarray, sign: float = -1.0,
+                 scale: float = 1.0):
+    """(n_in, len(bins)) cos/sin DFT matrices: Y[k] = sum_n x[n] e^{sign*j*2pi*n*bins[k]/n_in}."""
+    n = np.arange(n_in)[:, None]
+    k = np.asarray(bins)[None, :]
+    ang = sign * 2.0 * np.pi * n * k / n_in
+    return (np.cos(ang).astype(np.float32) * scale,
+            np.sin(ang).astype(np.float32) * scale)

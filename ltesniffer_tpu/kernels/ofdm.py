@@ -1,8 +1,14 @@
-"""OFDM (de)modulation kernels (36.211 6.12).
+"""OFDM (de)modulation kernels (36.211 6.12) — float-pair, MXU-based.
 
-RX path is batched JAX (XLA FFT on TPU); TX path is NumPy (test encoder /
-waveform synthesis only).  Replaces srsRAN's per-subframe `srsran_ofdm` FFT
-used via `srsran_ue_dl_decode_fft_estimate` (`src/src/DCISearch.cc:562`).
+RX demodulation is expressed as four real matmuls against precomputed
+(n_fft x n_sc) DFT matrices instead of a complex FFT: the axon TPU runtime
+has no complex support, and for LTE sizes (<=2048-point, only n_sc of n_fft
+bins needed) a dense DFT on the MXU is fast (~137 MFLOP per 20 MHz subframe)
+and fuses cleanly with the rest of the pipeline.
+
+TX path (test encoder / waveform synthesis) stays NumPy complex.
+Replaces srsRAN's per-subframe `srsran_ofdm` FFT
+(`src/src/DCISearch.cc:562`, SURVEY.md §2.1).
 """
 from __future__ import annotations
 
@@ -13,6 +19,7 @@ import numpy as np
 
 from ltesniffer_tpu.phy import params
 from ltesniffer_tpu.phy.params import CellConfig
+from . import cplx
 
 
 @functools.lru_cache(maxsize=8)
@@ -37,18 +44,32 @@ def subcarrier_bins(n_fft: int, n_sc: int) -> np.ndarray:
     return np.where(f < 0, f + n_fft, f).astype(np.int64)
 
 
-def demodulate(samples, cell: CellConfig):
-    """Time samples -> resource grid.
+@functools.lru_cache(maxsize=8)
+def _dft_mats(n_fft: int, n_sc: int):
+    bins = subcarrier_bins(n_fft, n_sc)
+    return cplx.dft_matrices(n_fft, bins, sign=-1.0,
+                             scale=1.0 / np.sqrt(n_fft))
 
-    samples: (..., sf_len) complex64  ->  grid (..., 14, n_sc) complex64.
-    """
+
+def demodulate_ri(samples_ri, cell: CellConfig):
+    """Float-pair demod: (..., sf_len, 2) -> (..., 14, n_sc, 2)."""
     n_fft, n_sc = cell.n_fft, cell.n_sc
     starts = np.asarray(symbol_starts(n_fft))
     idx = starts[:, None] + np.arange(n_fft)[None, :]          # (14, n_fft)
-    sym = samples[..., idx]                                    # (..., 14, n_fft)
-    spec = jnp.fft.fft(sym, axis=-1)
-    bins = jnp.asarray(subcarrier_bins(n_fft, n_sc))
-    return jnp.take(spec, bins, axis=-1) / np.float32(np.sqrt(n_fft))
+    sym = samples_ri[..., idx, :]                              # (...,14,n_fft,2)
+    w_re, w_im = _dft_mats(n_fft, n_sc)
+    return cplx.cmatmul(sym, w_re, w_im)                       # (...,14,n_sc,2)
+
+
+def demodulate(samples, cell: CellConfig):
+    """Host-convenience wrapper: complex64 numpy/jnp -> (..., 14, n_sc, 2).
+
+    NOTE: returns the float-pair representation (no complex on device).
+    """
+    x = np.asarray(samples)
+    if np.iscomplexobj(x):
+        x = cplx.to_ri(x)
+    return demodulate_ri(jnp.asarray(x), cell)
 
 
 def modulate_np(grid: np.ndarray, cell: CellConfig) -> np.ndarray:

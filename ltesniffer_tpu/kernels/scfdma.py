@@ -1,11 +1,11 @@
 """SC-FDMA (de)modulation + DFT transform (de)precoding (36.211 5.6).
 
+Float-pair device path (no complex64 on the axon TPU): the half-subcarrier
+shift is a cos/sin pair multiply, the symbol DFT and the per-grant transform
+deprecoding are MXU matmuls against precomputed matrices.
+
 Replaces `srsran_enb_ul_fft` + the PUSCH transform precoding inside
 `srsran_pusch_decode` (`src/src/UL_Sniffer_PUSCH.cc:392,262`).
-
-UL specifics vs the DL OFDM kernel: a +7.5 kHz half-subcarrier shift, no DC
-hole (n_sc contiguous subcarriers), and per-symbol M-point DFT spreading of
-the data symbols.
 """
 from __future__ import annotations
 
@@ -16,16 +16,17 @@ import numpy as np
 
 from ltesniffer_tpu.phy import params
 from ltesniffer_tpu.phy.params import CellConfig
-from . import ofdm
+from . import cplx, ofdm
 
 DMRS_SYM = (3, 10)     # pilot symbol per slot (normal CP), subframe indexing
 DATA_SYMS = (0, 1, 2, 4, 5, 6, 7, 8, 9, 11, 12, 13)
 
 
 @functools.lru_cache(maxsize=8)
-def _half_shift(n_fft: int, sf_len: int) -> np.ndarray:
+def _half_shift_ri(n_fft: int, sf_len: int):
     n = np.arange(sf_len)
-    return np.exp(-1j * np.pi * n / n_fft).astype(np.complex64)
+    ang = -np.pi * n / n_fft
+    return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
 
 
 @functools.lru_cache(maxsize=8)
@@ -35,20 +36,27 @@ def ul_subcarrier_bins(n_fft: int, n_sc: int) -> np.ndarray:
     return np.where(f < 0, f + n_fft, f).astype(np.int64)
 
 
-def demodulate_ul(samples, cell: CellConfig):
-    """(..., sf_len) -> (..., 14, n_sc) with the half-subcarrier shift removed."""
-    shift = jnp.asarray(_half_shift(cell.n_fft, cell.sf_len))
-    x = samples * shift
+@functools.lru_cache(maxsize=8)
+def _ul_dft_mats(n_fft: int, n_sc: int):
+    bins = ul_subcarrier_bins(n_fft, n_sc)
+    return cplx.dft_matrices(n_fft, bins, sign=-1.0,
+                             scale=1.0 / np.sqrt(n_fft))
+
+
+def demodulate_ul_ri(samples_ri, cell: CellConfig):
+    """(..., sf_len, 2) -> (..., 14, n_sc, 2), half-subcarrier shift removed."""
+    cr, si = _half_shift_ri(cell.n_fft, cell.sf_len)
+    shift = jnp.stack([jnp.asarray(cr), jnp.asarray(si)], axis=-1)
+    x = cplx.cmul(samples_ri, shift)
     starts = np.asarray(ofdm.symbol_starts(cell.n_fft))
     idx = starts[:, None] + np.arange(cell.n_fft)[None, :]
-    sym = x[..., idx]
-    spec = jnp.fft.fft(sym, axis=-1)
-    bins = jnp.asarray(ul_subcarrier_bins(cell.n_fft, cell.n_sc))
-    return jnp.take(spec, bins, axis=-1) / np.float32(np.sqrt(cell.n_fft))
+    sym = x[..., idx, :]
+    w_re, w_im = _ul_dft_mats(cell.n_fft, cell.n_sc)
+    return cplx.cmatmul(sym, w_re, w_im)
 
 
 def modulate_ul_np(grid: np.ndarray, cell: CellConfig) -> np.ndarray:
-    """(14, n_sc) -> (sf_len,) time samples (test TX side)."""
+    """(14, n_sc) -> (sf_len,) time samples (test TX side, NumPy complex)."""
     n_fft, n_sc = cell.n_fft, cell.n_sc
     bins = ul_subcarrier_bins(n_fft, n_sc)
     out = np.zeros(cell.sf_len, dtype=np.complex64)
@@ -61,8 +69,9 @@ def modulate_ul_np(grid: np.ndarray, cell: CellConfig) -> np.ndarray:
         s = starts[i]
         out[s:s + n_fft] = td
         out[s - cps[i]:s] = td[-cps[i]:]
-    # apply +7.5 kHz half-subcarrier shift
-    return out * np.conj(_half_shift(n_fft, cell.sf_len))
+    # TX applies +7.5 kHz: multiply by conj of the RX shift exp(-j*pi*n/N)
+    cr, si = _half_shift_ri(n_fft, cell.sf_len)
+    return out * (cr - 1j * si)
 
 
 def dft_precode_np(x: np.ndarray, m_sc: int) -> np.ndarray:
@@ -71,6 +80,13 @@ def dft_precode_np(x: np.ndarray, m_sc: int) -> np.ndarray:
     return (np.fft.fft(blocks, axis=-1) / np.sqrt(m_sc)).reshape(-1)
 
 
-def dft_deprecode(x, m_sc: int):
-    """(..., n_sym, m_sc) equalized symbols -> despread (IDFT per symbol)."""
-    return jnp.fft.ifft(x, axis=-1) * np.float32(np.sqrt(m_sc))
+@functools.lru_cache(maxsize=64)
+def _idft_mats(m_sc: int):
+    return cplx.dft_matrices(m_sc, np.arange(m_sc), sign=+1.0,
+                             scale=1.0 / np.sqrt(m_sc))
+
+
+def dft_deprecode_ri(x, m_sc: int):
+    """(..., n_sym, m_sc, 2) equalized symbols -> despread (IDFT matmul)."""
+    w_re, w_im = _idft_mats(m_sc)
+    return cplx.cmatmul(x, w_re, w_im)

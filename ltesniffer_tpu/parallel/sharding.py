@@ -34,22 +34,28 @@ def make_mesh(devices=None, axis: str = "sf") -> Mesh:
 
 
 def shard_subframes(mesh: Mesh, samples: np.ndarray, sf_idx: np.ndarray):
-    """Place (B, RX, sf_len) samples with B sharded over the mesh."""
+    """Place (B, RX, sf_len[, 2]) samples with B sharded over the mesh.
+
+    Complex input is converted to the float-pair representation host-side
+    (no complex64 on the device path)."""
+    from ltesniffer_tpu.kernels import cplx
+    x = np.asarray(samples)
+    if np.iscomplexobj(x):
+        x = cplx.to_ri(x)
     sh = NamedSharding(mesh, P("sf"))
-    return (jax.device_put(samples, sh), jax.device_put(sf_idx, sh))
+    return (jax.device_put(x, sh), jax.device_put(np.asarray(sf_idx), sh))
 
 
 @functools.lru_cache(maxsize=8)
 def make_sharded_frontend(cell: CellConfig, mesh: Mesh):
     """Frontend with explicit batch sharding constraints."""
-    base = frontend_mod.make_frontend(cell)
+    base = frontend_mod.make_frontend(cell).jitted_ri
     sh = NamedSharding(mesh, P("sf"))
 
     @jax.jit
-    def run(samples, sf_idx):
-        samples = jax.lax.with_sharding_constraint(samples, sh)
-        out = base(samples, sf_idx)
-        return out
+    def run(samples_ri, sf_idx):
+        samples_ri = jax.lax.with_sharding_constraint(samples_ri, sh)
+        return base(samples_ri, sf_idx)
 
     return run
 

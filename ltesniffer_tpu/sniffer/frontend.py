@@ -17,7 +17,7 @@ import numpy as np
 
 from ltesniffer_tpu.phy import grid as grid_mod
 from ltesniffer_tpu.phy.params import CellConfig
-from ltesniffer_tpu.kernels import chest, demapper, ofdm
+from ltesniffer_tpu.kernels import chest, cplx, demapper, ofdm
 
 
 @functools.lru_cache(maxsize=16)
@@ -35,15 +35,15 @@ def make_frontend(cell: CellConfig):
     use_sfbc = cell.nof_ports >= 2
 
     @jax.jit
-    def run(samples, sf_idx):
-        grids = ofdm.demodulate(samples, cell)
+    def run_ri(samples_ri, sf_idx):
+        grids = ofdm.demodulate_ri(samples_ri, cell)   # (B,RX,14,n_sc,2)
         B = grids.shape[0]
         ch = chest.estimate(grids, sf_idx, cell)
         h = ch["h"]
-        gflat = grids.reshape(B, grids.shape[1], -1)
-        hflat = h.reshape(B, h.shape[1], h.shape[2], -1)
-        y = gflat[..., re_idx]
-        hh = hflat[..., re_idx]
+        gflat = grids.reshape(B, grids.shape[1], -1, 2)
+        hflat = h.reshape(B, h.shape[1], h.shape[2], -1, 2)
+        y = gflat[:, :, re_idx, :]
+        hh = hflat[:, :, :, re_idx, :]
         if use_sfbc:
             x = chest.equalize_sfbc(y, hh, ch["noise_var"])
         else:
@@ -55,4 +55,11 @@ def make_frontend(cell: CellConfig):
                 "snr_db": ch["snr_db"], "rsrp": ch["rsrp"],
                 "cfi": cfi, "cfi_corr": corr}
 
+    def run(samples, sf_idx):
+        x = np.asarray(samples)
+        if np.iscomplexobj(x):
+            x = cplx.to_ri(x)
+        return run_ri(jnp.asarray(x), jnp.asarray(np.asarray(sf_idx)))
+
+    run.jitted_ri = run_ri
     return run

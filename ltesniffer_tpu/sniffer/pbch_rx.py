@@ -104,10 +104,10 @@ def _make_decoder(cell: CellConfig):
     def run(grids, h, noise_var):
         """One subframe-0: returns decoded bits (8, 40) for hypotheses
         (port in {1,2} x frame_phase in {0..3})."""
-        y = grids.reshape(grids.shape[0], -1)[None, :, re_idx]       # (1,RX,240)
-        hh = h.reshape(h.shape[0], h.shape[1], -1)[None, :, :, re_idx]
+        y = grids.reshape(grids.shape[0], -1, 2)[None][:, :, re_idx, :]
+        hh = h.reshape(h.shape[0], h.shape[1], -1, 2)[None][:, :, :, re_idx, :]
         nv = noise_var[None]
-        x1 = chest.equalize_port0(y, hh[:, :, 0], nv)[0]             # (240,)
+        x1 = chest.equalize_port0(y, hh[:, :, 0], nv)[0]             # (240,2)
         x2 = chest.equalize_sfbc(y, hh[:, :, :2], nv)[0] if h.shape[1] >= 2 \
             else x1
         rows = []

@@ -27,7 +27,7 @@ import numpy as np
 from ltesniffer_tpu.phy import conv, crc, dci as dci_mod, grid as grid_mod
 from ltesniffer_tpu.phy import search_space
 from ltesniffer_tpu.phy.params import CellConfig
-from ltesniffer_tpu.kernels import chest, demapper, ofdm, viterbi
+from ltesniffer_tpu.kernels import chest, cplx, demapper, ofdm, viterbi
 
 
 @functools.lru_cache(maxsize=16)
@@ -110,10 +110,10 @@ def _build_pipeline(cell: CellConfig, cfi: int):
     @jax.jit
     def run_from_grids(grids, h, noise_var, snr_db, sf_idx):
         B = grids.shape[0]
-        gflat = grids.reshape(B, grids.shape[1], -1)
-        hflat = h.reshape(B, h.shape[1], h.shape[2], -1)
-        y = gflat[..., gather_idx]                               # (B,RX,M)
-        hh = hflat[..., gather_idx]                              # (B,RX,P,M)
+        gflat = grids.reshape(B, grids.shape[1], -1, 2)
+        hflat = h.reshape(B, h.shape[1], h.shape[2], -1, 2)
+        y = gflat[:, :, gather_idx, :]                           # (B,RX,M,2)
+        hh = hflat[:, :, :, gather_idx, :]                       # (B,RX,P,M,2)
         if use_sfbc:
             x = chest.equalize_sfbc(y, hh, noise_var)            # (B,M)
         else:
@@ -145,12 +145,19 @@ def _build_pipeline(cell: CellConfig, cfi: int):
         return out
 
     @jax.jit
-    def run(samples, sf_idx):
-        grids = ofdm.demodulate(samples, cell)                   # (B,RX,14,n_sc)
+    def run_ri(samples_ri, sf_idx):
+        grids = ofdm.demodulate_ri(samples_ri, cell)   # (B,RX,14,n_sc,2)
         ch = chest.estimate(grids, sf_idx, cell)
         return run_from_grids(grids, ch["h"], ch["noise_var"],
                               ch["snr_db"], sf_idx)
 
+    def run(samples, sf_idx):
+        x = np.asarray(samples)
+        if np.iscomplexobj(x):
+            x = cplx.to_ri(x)
+        return run_ri(jnp.asarray(x), jnp.asarray(np.asarray(sf_idx)))
+
+    run.jitted_ri = run_ri
     return {"run": run, "from_grids": run_from_grids, "st": st}
 
 

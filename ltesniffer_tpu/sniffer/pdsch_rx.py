@@ -22,7 +22,7 @@ import numpy as np
 
 from ltesniffer_tpu.phy import crc, pdsch as pdsch_mod, sequences, turbo as turbo_mod
 from ltesniffer_tpu.phy.params import CellConfig
-from ltesniffer_tpu.kernels import chest, demapper, turbo as kturbo
+from ltesniffer_tpu.kernels import chest, cplx, demapper, turbo as kturbo
 
 RE_BUCKET = 256
 
@@ -40,8 +40,8 @@ def _eq_demap_fn(cell: CellConfig, qm: int, n_re_pad: int, use_sfbc: bool):
     """
     @jax.jit
     def run(grid_flat, h_flat, noise_var, re_idx, c_init):
-        y = grid_flat[:, re_idx][None]          # (1, RX, n)
-        hh = h_flat[:, :, re_idx][None]         # (1, RX, P, n)
+        y = grid_flat[:, re_idx, :][None]        # (1, RX, n, 2)
+        hh = h_flat[:, :, re_idx, :][None]       # (1, RX, P, n, 2)
         nv = noise_var[None]
         if use_sfbc:
             x = chest.equalize_sfbc(y, hh, nv)[0]
@@ -90,8 +90,8 @@ def decode_grant(grids, h, noise_var, b: int, cell: CellConfig, sf_idx: int,
     c_init = pdsch_mod.scrambling_cinit(rnti, 0, sf_idx, cell.n_id_cell)
 
     fn = _eq_demap_fn(cell, qm, n_pad, cell.nof_ports >= 2)
-    gflat = grids[b].reshape(grids.shape[1], -1)
-    hflat = h[b].reshape(h.shape[1], h.shape[2], -1)
+    gflat = grids[b].reshape(grids.shape[1], -1, 2)
+    hflat = h[b].reshape(h.shape[1], h.shape[2], -1, 2)
     llr = np.asarray(fn(gflat, hflat, noise_var[b], jnp.asarray(idx),
                         jnp.asarray(np.uint32(c_init))))[:G]
 
@@ -110,14 +110,14 @@ def _eq_demap_mimo_fn(cell: CellConfig, qm0: int, qm1: int, n_re_pad: int,
 
     @jax.jit
     def run(grid_flat, h_flat, noise_var, re_idx, c_init0, c_init1):
-        y = grid_flat[:, re_idx][None]               # (1, RX, n)
-        hh = h_flat[:, :, re_idx][None]              # (1, RX, P, n)
+        y = grid_flat[:, re_idx, :][None]            # (1, RX, n, 2)
+        hh = h_flat[:, :, re_idx, :][None]           # (1, RX, P, n, 2)
         nv = noise_var[None]
         if tm == 4:
             he = mimo_mod.effective_channel_tm4(hh, pmi, 2)
         else:
             he = mimo_mod.effective_channel_tm3(hh)
-        x = mimo_mod.mmse_2layer(y[:, :, :], he, nv)[0]   # (2, n)
+        x = mimo_mod.mmse_2layer(y, he, nv)[0]       # (2, n, 2)
         outs = []
         for q, (qm, ci) in enumerate(((qm0, c_init0), (qm1, c_init1))):
             llr = demapper.llr(x[q], qm)
@@ -143,8 +143,8 @@ def decode_grant_mimo(grids, h, noise_var, b: int, cell: CellConfig,
     ci = [pdsch_mod.scrambling_cinit(rnti, q, sf_idx, cell.n_id_cell)
           for q in (0, 1)]
     fn = _eq_demap_mimo_fn(cell, qms[0], qms[1], n_pad, tm, pmi)
-    gflat = grids[b].reshape(grids.shape[1], -1)
-    hflat = h[b].reshape(h.shape[1], h.shape[2], -1)
+    gflat = grids[b].reshape(grids.shape[1], -1, 2)
+    hflat = h[b].reshape(h.shape[1], h.shape[2], -1, 2)
     llrs = fn(gflat, hflat, noise_var[b], jnp.asarray(idx),
               jnp.asarray(np.uint32(ci[0])), jnp.asarray(np.uint32(ci[1])))
     results = []

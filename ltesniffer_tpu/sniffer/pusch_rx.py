@@ -19,16 +19,24 @@ import numpy as np
 from ltesniffer_tpu.phy import pdsch as pdsch_mod, ra, turbo as turbo_mod
 from ltesniffer_tpu.phy import ul_dmrs
 from ltesniffer_tpu.phy.params import CellConfig
-from ltesniffer_tpu.kernels import demapper, scfdma
+from ltesniffer_tpu.kernels import cplx, demapper, scfdma
 from .pdsch_rx import _decode_tb_from_llrs, PdschResult
 
 
 @functools.lru_cache(maxsize=16)
 def make_ul_frontend(cell: CellConfig):
-    """Batched UL demod: (B, RX, sf_len) samples -> (B, RX, 14, n_sc) grid."""
+    """Batched UL demod: samples -> (B, RX, 14, n_sc, 2) float-pair grid."""
     @jax.jit
+    def run_ri(samples_ri):
+        return scfdma.demodulate_ul_ri(samples_ri, cell)
+
     def run(samples):
-        return scfdma.demodulate_ul(samples, cell)
+        x = np.asarray(samples)
+        if np.iscomplexobj(x):
+            x = cplx.to_ri(x)
+        return run_ri(jnp.asarray(x))
+
+    run.jitted_ri = run_ri
     return run
 
 
@@ -62,30 +70,33 @@ def _eq_fn(cell: CellConfig, n_prb: int, qm: int):
     subcarrier_spacing = 15e3
 
     @jax.jit
-    def run(grid, dmrs, k0, c_init):
-        block = jax.lax.dynamic_slice_in_dim(grid, k0, m_sc, axis=-1)
-        pil = block[:, dmrs_syms, :]                    # (RX, 2, m_sc)
-        h_ls = pil * jnp.conj(dmrs)[None]               # (RX, 2, m_sc)
+    def run(grid, dmrs_ri, k0, c_init):
+        block = jax.lax.dynamic_slice_in_dim(grid, k0, m_sc, axis=-2)
+        pil = block[:, dmrs_syms, :, :]                 # (RX, 2, m_sc, 2)
+        h_ls = cplx.cmul_conj(pil, dmrs_ri[None])       # (RX, 2, m_sc, 2)
         # 3-tap freq smoothing
-        pad = jnp.concatenate([h_ls[..., :1], h_ls, h_ls[..., -1:]], axis=-1)
-        h_sm = 0.25 * pad[..., :-2] + 0.5 * pad[..., 1:-1] + 0.25 * pad[..., 2:]
+        pad = jnp.concatenate([h_ls[..., :1, :], h_ls, h_ls[..., -1:, :]],
+                              axis=-2)
+        h_sm = (0.25 * pad[..., :-2, :] + 0.5 * pad[..., 1:-1, :]
+                + 0.25 * pad[..., 2:, :])
         resid = h_ls - h_sm
-        noise = jnp.mean(jnp.abs(resid) ** 2) / 0.375
-        sig = jnp.mean(jnp.abs(h_sm) ** 2)
+        noise = jnp.mean(cplx.cabs2(resid)) / 0.375
+        sig = jnp.mean(cplx.cabs2(h_sm))
         snr_db = 10.0 * jnp.log10(jnp.maximum(sig, 1e-12)
                                   / jnp.maximum(noise, 1e-12))
         # TA: mean phase slope across subcarriers
-        prod = h_sm[..., 1:] * jnp.conj(h_sm[..., :-1])
-        slope = jnp.angle(jnp.sum(prod))
+        prod = cplx.cmul_conj(h_sm[..., 1:, :], h_sm[..., :-1, :])
+        psum = jnp.sum(prod.reshape(-1, 2), axis=0)
+        slope = jnp.arctan2(psum[1], psum[0])
         ta_us = -slope / (2.0 * np.pi * subcarrier_spacing) * 1e6
         # interpolate over symbols
-        h_data = jnp.einsum("rps,lp->rls", h_sm, jnp.asarray(wt))  # (RX,12,m)
-        y = block[:, data_syms, :]                       # (RX, 12, m_sc)
-        num = jnp.sum(jnp.conj(h_data) * y, axis=0)
-        den = jnp.sum(jnp.abs(h_data) ** 2, axis=0) + noise
-        x_eq = num / den                                 # (12, m_sc)
-        d = scfdma.dft_deprecode(x_eq, m_sc)             # (12, m_sc)
-        llr = demapper.llr(d.reshape(-1), qm)            # (12*m_sc*qm,)
+        h_data = jnp.einsum("rpsc,lp->rlsc", h_sm, jnp.asarray(wt))
+        y = block[:, data_syms, :, :]                    # (RX, 12, m_sc, 2)
+        num = jnp.sum(cplx.cmul_conj(y, h_data), axis=0)
+        den = jnp.sum(cplx.cabs2(h_data), axis=0) + noise
+        x_eq = cplx.cdiv_real(num, den)                  # (12, m_sc, 2)
+        d = scfdma.dft_deprecode_ri(x_eq, m_sc)          # (12, m_sc, 2)
+        llr = demapper.llr(d.reshape(-1, 2), qm)         # (12*m_sc*qm,)
         # descramble FIRST (TX order: interleave -> scramble -> modulate)
         from ltesniffer_tpu.phy import sequences as seq_mod
         scr = seq_mod.gold_sequence_jax(c_init, 12 * m_sc * qm)
@@ -115,7 +126,8 @@ def decode_grant_ul(ul_grid_b, cell: CellConfig, sf_idx: int, rnti: int,
         for s in range(2)])
     c_init = pdsch_mod.scrambling_cinit(rnti, 0, sf_idx, cell.n_id_cell)
     fn = _eq_fn(cell, n_prb, qm)
-    llr, snr_db, ta_us = fn(jnp.asarray(ul_grid_b), jnp.asarray(dmrs),
+    llr, snr_db, ta_us = fn(jnp.asarray(ul_grid_b),
+                            jnp.asarray(cplx.to_ri(dmrs)),
                             np.int32(12 * prb_start),
                             jnp.asarray(np.uint32(c_init)))
     llr = np.asarray(llr)
