@@ -158,7 +158,8 @@ class LTESnifferCore:
             outs[c]["_st"] = st
             pos_in_group[sel] = np.arange(len(sel))
 
-        # sequential resolve + PDSCH decode in time order
+        # sequential resolve in time order; batchable PDSCH jobs collected
+        pending = []   # (cfi, GrantJob) for the grouped decode
         for i in range(B):
             c = int(cfi[i])
             if c not in outs:
@@ -174,12 +175,21 @@ class LTESnifferCore:
                 for a in accepted:
                     if a.fmt == "0":
                         self._handle_ul_dci(a, sfn_i, sf)
-                    else:
+                    elif RARNTI_START <= a.rnti <= RARNTI_END:
+                        # RAR side effects gate later subframes: immediate
                         self._handle_dl_dci(out, gi, c, a, sfn_i, sf)
+                    else:
+                        job = self._prepare_dl_job(out, gi, c, a, sfn_i, sf)
+                        if job is None:
+                            # MIMO / degenerate: immediate path
+                            self._handle_dl_dci(out, gi, c, a, sfn_i, sf)
+                        else:
+                            pending.append((c, job))
             if self.on_subframe:
                 self.on_subframe(dict(out=out, gi=gi, cfi=c, sf=sf,
                                       sfn=sfn_i, accepted=accepted))
             self.processed += 1
+        self._decode_pending(outs, pending)
         self.sf_count += B
         now_tti = trackers.tti_of(self.sfn + self.sf_count // 10,
                                   int(sf_idx[-1]))
@@ -196,6 +206,98 @@ class LTESnifferCore:
         st = self.mcs.stat_ul(a.rnti)
         st.new_tx += 1
         st.last_seen_tti = trackers.tti_of(sfn, sf)
+
+    def _prepare_dl_job(self, out, gi: int, cfi: int,
+                        a: dci_search.AcceptedDci, sfn: int, sf: int):
+        """Build a batchable GrantJob for a single-TB DL DCI (None if the
+        grant needs the immediate path: MIMO or no usable TBS)."""
+        d = dci_mod.unpack(a.payload, a.fmt, self.cell, rnti=a.rnti)
+        grant = dci_mod.dl_grant_from_dci(d, self.cell)
+        if grant.nof_tb == 2:
+            return None
+        tti = trackers.tti_of(sfn, sf)
+        is_special = a.rnti in (SIRNTI, PRNTI)
+        known = self.mcs.dl_table_of(a.rnti)
+        table = (trackers.McsTable.QAM64
+                 if is_special or known == trackers.McsTable.UNKNOWN
+                 else known)
+        use256 = table == trackers.McsTable.QAM256
+        qm, i_tbs = tables.dl_mcs_to_qm_itbs(grant.mcs, use256)
+        tbs = tables.tbs_lookup(i_tbs, grant.n_prb_alloc) if i_tbs >= 0 else 0
+        is_retx = False
+        harq_key = None
+        if not is_special:
+            is_retx, tbs = self.harq.classify(
+                a.rnti, grant.harq_pid, 0, grant.ndi, tbs, tti)
+            if known != trackers.McsTable.UNKNOWN:
+                harq_key = self.harq.buffer_key(a.rnti, grant.harq_pid, 0)
+        if tbs <= 0:
+            return None
+        return pdsch_rx.GrantJob(
+            b=gi, sf_idx=sf, cfi=cfi, rnti=a.rnti, prb_mask=grant.prb_mask,
+            qm=qm, tbs=tbs, rv=grant.rv,
+            prb_mask_slot1=grant.prb_mask_slot1, harq_key=harq_key,
+            tag=dict(a=a, grant=grant, sfn=sfn, sf=sf, is_retx=is_retx,
+                     table=table, known=known, is_special=is_special))
+
+    def _decode_pending(self, outs, pending):
+        """Grouped decode of collected jobs + per-job postprocessing."""
+        by_cfi = {}
+        for c, job in pending:
+            by_cfi.setdefault(c, []).append(job)
+        for c, jobs in by_cfi.items():
+            out = outs[c]
+            res = pdsch_rx.decode_grants_batch(
+                out["grids"], out["h"], out["noise_var"], self.cell, jobs,
+                soft_buffers=self.soft_buffers)
+            for job, r in zip(jobs, res):
+                t = job.tag
+                # unknown-table miss: retry with the 256QAM table once
+                if (not r.crc_ok and not t["is_special"]
+                        and t["known"] == trackers.McsTable.UNKNOWN):
+                    qm2, i2 = tables.dl_mcs_to_qm_itbs(t["grant"].mcs, True)
+                    tbs2 = (tables.tbs_lookup(i2, t["grant"].n_prb_alloc)
+                            if i2 >= 0 else 0)
+                    if tbs2 > 0:
+                        r2 = pdsch_rx.decode_grant(
+                            out["grids"], out["h"], out["noise_var"], job.b,
+                            self.cell, job.sf_idx, job.cfi, rnti=job.rnti,
+                            prb_mask=job.prb_mask, qm=qm2, tbs=tbs2,
+                            rv=job.rv, prb_mask_slot1=job.prb_mask_slot1)
+                        if r2.crc_ok:
+                            r = r2
+                            t["table"] = trackers.McsTable.QAM256
+                self._finish_dl(job, r, t)
+
+    def _finish_dl(self, job, res, t):
+        a = t["a"]
+        sfn, sf = t["sfn"], t["sf"]
+        is_retx = t["is_retx"]
+        crc_ok = res.crc_ok
+        payload = None
+        if crc_ok:
+            if (not t["is_special"]
+                    and self.mcs.dl_table_of(a.rnti)
+                    == trackers.McsTable.UNKNOWN):
+                self.mcs.learn_dl_table(a.rnti, t["table"])
+            payload = np.packbits(res.tb_bits).tobytes()
+            self._emit_pdsch(a, payload, sfn, sf, crc_ok=True,
+                             retx=1 if is_retx else 0)
+            if self.api is not None:
+                self._api_dl(a.rnti, payload, sfn, sf)
+        st = self.mcs.stat_dl(a.rnti)
+        st.last_seen_tti = trackers.tti_of(sfn, sf)
+        if is_retx:
+            st.retx += 1
+        else:
+            st.new_tx += 1
+        if crc_ok:
+            st.success += 1
+        else:
+            st.fail += 1
+        self.results.append(AcceptedPdsch(
+            dci=a, crc_ok=crc_ok, tbs=res.tbs, payload=payload,
+            is_retx=is_retx, table=t["table"]))
 
     def _handle_dl_dci(self, out, gi: int, cfi: int,
                        a: dci_search.AcceptedDci, sfn: int, sf: int):

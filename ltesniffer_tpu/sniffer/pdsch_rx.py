@@ -210,3 +210,161 @@ def _decode_tb_from_llrs(llr, rnti, tbs, qm, rv, n_re, soft_buffers,
         for ci_ in range(seg.C):
             soft_buffers.pop((harq_key, ci_), None)
     return PdschResult(rnti, tbs, bool(tb_ok), tb_bits, cb_ok, d_llrs, n_re)
+
+
+# ---------------------------------------------------------------------------
+# Batched multi-grant decoding (performance path)
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass
+class GrantJob:
+    b: int                      # batch index into grids
+    sf_idx: int
+    cfi: int
+    rnti: int
+    prb_mask: np.ndarray
+    qm: int
+    tbs: int
+    rv: int = 0
+    prb_mask_slot1: Optional[np.ndarray] = None
+    harq_key: Optional[Tuple] = None
+    tag: object = None          # caller cookie (e.g. the AcceptedDci)
+
+
+@functools.lru_cache(maxsize=64)
+def _eq_demap_batch_fn(cell: CellConfig, qm: int, n_re_pad: int,
+                       use_sfbc: bool):
+    """Jitted: many grants' REs -> descrambled LLRs in one call.
+
+    (grids (B,RX,L,2), h (B,RX,P,L,2), noise (B,), bidx (G,), re_idx (G,n),
+     c_init (G,)) -> llr (G, n*qm)
+    """
+    @jax.jit
+    def run(gflat, hflat, noise_var, bidx, re_idx, c_init):
+        # advanced-index gather: result (G, n, RX, 2) -> move RX forward
+        y = gflat[bidx[:, None], :, re_idx, :]           # (G, n, RX, 2)
+        y = jnp.moveaxis(y, 1, 2)                        # (G, RX, n, 2)
+        hh = hflat[bidx[:, None], :, :, re_idx, :]       # (G, n, RX, P, 2)
+        hh = jnp.moveaxis(hh, 1, 3)                      # (G, RX, P, n, 2)
+        nv = noise_var[bidx]
+        if use_sfbc:
+            x = chest.equalize_sfbc(y, hh, nv)           # (G, n, 2)
+        else:
+            x = chest.equalize_port0(y, hh[:, :, 0], nv)
+        llr = demapper.llr(x, qm)                        # (G, n*qm)
+        scr = sequences.gold_sequence_jax(c_init, n_re_pad * qm)
+        return llr * (1.0 - 2.0 * scr.astype(jnp.float32))
+
+    return run
+
+
+def decode_grants_batch(grids, h, noise_var, cell: CellConfig,
+                        jobs: List[GrantJob],
+                        soft_buffers: Optional[Dict] = None,
+                        n_iter: int = 8) -> List[PdschResult]:
+    """Decode many grants with grouped device calls.
+
+    Equalize/demap/descramble runs once per (qm, RE-bucket) group; turbo
+    decoding once per code-block size K across ALL grants.  Results return
+    in job order.
+    """
+    results: List[Optional[PdschResult]] = [None] * len(jobs)
+    # --- group by (qm, bucket) and run the eq/demap stage ----------------
+    llrs: List[Optional[np.ndarray]] = [None] * len(jobs)
+    meta = []
+    groups: Dict[Tuple[int, int], List[int]] = {}
+    for ji, j in enumerate(jobs):
+        re_idx = pdsch_mod.grant_re_indices(cell, j.sf_idx, j.cfi,
+                                            j.prb_mask, j.prb_mask_slot1)
+        meta.append(re_idx)
+        if j.tbs <= 0 or len(re_idx) == 0:
+            results[ji] = PdschResult(j.rnti, j.tbs, False, None, [], [], 0)
+            continue
+        groups.setdefault((j.qm, _bucket(len(re_idx))), []).append(ji)
+    gflat = grids.reshape(grids.shape[0], grids.shape[1], -1, 2)
+    hflat = h.reshape(h.shape[0], h.shape[1], h.shape[2], -1, 2)
+    for (qm, n_pad), jis in groups.items():
+        G = len(jis)
+        bidx = np.asarray([jobs[ji].b for ji in jis], np.int32)
+        idx = np.zeros((G, n_pad), np.int32)
+        cinit = np.zeros(G, np.uint32)
+        for row, ji in enumerate(jis):
+            re_idx = meta[ji]
+            idx[row, :len(re_idx)] = re_idx
+            idx[row, len(re_idx):] = re_idx[-1]
+            j = jobs[ji]
+            cinit[row] = pdsch_mod.scrambling_cinit(j.rnti, 0, j.sf_idx,
+                                                    cell.n_id_cell)
+        fn = _eq_demap_batch_fn(cell, qm, n_pad, cell.nof_ports >= 2)
+        out = np.asarray(fn(gflat, hflat, noise_var, jnp.asarray(bidx),
+                            jnp.asarray(idx), jnp.asarray(cinit)))
+        for row, ji in enumerate(jis):
+            llrs[ji] = out[row, :len(meta[ji]) * qm]
+
+    # --- de-rate-match + HARQ combine (host) + grouped turbo -------------
+    cb_batches: Dict[int, List[np.ndarray]] = {}
+    cb_owner: Dict[int, List[Tuple[int, int]]] = {}
+    seg_of = {}
+    d_llrs_of: Dict[int, List[np.ndarray]] = {}
+    for ji, j in enumerate(jobs):
+        if results[ji] is not None or llrs[ji] is None:
+            continue
+        Gbits = len(llrs[ji])
+        seg = turbo_mod.segment_sizes(j.tbs)
+        seg_of[ji] = seg
+        es = pdsch_mod.cb_rate_match_sizes(Gbits, seg.C, j.qm)
+        d_list = []
+        off = 0
+        for ci_, (K, E) in enumerate(zip(seg.K, es)):
+            F = seg.F if ci_ == 0 else 0
+            pos = turbo_mod.derm_positions(K, F, E, j.rv)
+            d = np.zeros(3 * (K + 4), dtype=np.float32)
+            np.add.at(d, pos, llrs[ji][off:off + E])
+            d = d.reshape(3, K + 4)
+            if F:
+                d[0, :F] = 1e4
+                d[1, :F] = 1e4
+            off += E
+            if soft_buffers is not None and j.harq_key is not None:
+                buf = soft_buffers.setdefault((j.harq_key, ci_),
+                                              np.zeros_like(d))
+                buf += d
+                d = buf.copy()
+            d_list.append(d)
+            cb_batches.setdefault(K, []).append(d)
+            cb_owner.setdefault(K, []).append((ji, ci_))
+        d_llrs_of[ji] = d_list
+
+    bits_of: Dict[Tuple[int, int], np.ndarray] = {}
+    for K, ds in cb_batches.items():
+        bits, _ = kturbo.make_decoder(K, n_iter)(jnp.asarray(np.stack(ds)))
+        bits = np.asarray(bits)
+        for row, (ji, ci_) in enumerate(cb_owner[K]):
+            bits_of[(ji, ci_)] = bits[row]
+
+    # --- CRC + assembly --------------------------------------------------
+    for ji, j in enumerate(jobs):
+        if results[ji] is not None or ji not in seg_of:
+            continue
+        seg = seg_of[ji]
+        cb_ok, parts = [], []
+        for ci_, K in enumerate(seg.K):
+            blk = bits_of[(ji, ci_)]
+            F = seg.F if ci_ == 0 else 0
+            if seg.C > 1:
+                ok = crc.crc_bits(blk, crc.CRC24B).sum() == 0
+                data = blk[F:K - turbo_mod.SEG_CRC]
+            else:
+                ok = True
+                data = blk[F:]
+            cb_ok.append(bool(ok))
+            parts.append(data)
+        tb_with_crc = np.concatenate(parts)[:seg.B]
+        tb_ok = (all(cb_ok)
+                 and crc.crc_bits(tb_with_crc, crc.CRC24A).sum() == 0)
+        tb_bits = tb_with_crc[:j.tbs] if tb_ok else None
+        if tb_ok and soft_buffers is not None and j.harq_key is not None:
+            for ci_ in range(seg.C):
+                soft_buffers.pop((j.harq_key, ci_), None)
+        results[ji] = PdschResult(j.rnti, j.tbs, bool(tb_ok), tb_bits,
+                                  cb_ok, d_llrs_of[ji], len(meta[ji]))
+    return results
