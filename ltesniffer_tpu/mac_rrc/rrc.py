@@ -230,3 +230,67 @@ def decode_ul_dcch(data: bytes):
         return (kind, nas)
     except (IndexError, ValueError):
         return None
+
+
+# ---------------------------------------------------------------------------
+# BCCH: SIB1 / SIB2 subset (the fields the UL sniffer needs)
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass
+class Sib2UlConfig:
+    """PUSCH/PRACH common config consumed by the UL chain
+    (`ULSchedule::set_SIB2/set_config`, `src/src/ULSchedule.cc:105-158`)."""
+    group_hopping: bool = False
+    seq_hopping: bool = False
+    cyclic_shift: int = 0         # n_DMRS1 index
+    delta_ss: int = 0             # groupAssignmentPUSCH
+    hopping_mode_intersubframe: bool = True
+    pusch_hopping_offset: int = 0
+    n_sb: int = 1
+    prach_root_seq_index: int = 0
+    prach_config_index: int = 3
+    prach_freq_offset: int = 4
+    zero_correlation_zone: int = 1
+
+
+def encode_sib2(cfg: Sib2UlConfig) -> bytes:
+    """Compact BCCH encoding (subset; marker 0x02 = SIB2)."""
+    w = BitWriter()
+    w.write(2, 4)                        # our subset message tag: SIB2
+    w.write(1 if cfg.group_hopping else 0, 1)
+    w.write(1 if cfg.seq_hopping else 0, 1)
+    w.write(cfg.cyclic_shift, 3)
+    w.write(cfg.delta_ss, 5)
+    w.write(1 if cfg.hopping_mode_intersubframe else 0, 1)
+    w.write(cfg.pusch_hopping_offset, 7)
+    w.write(cfg.n_sb, 2)
+    w.write(cfg.prach_root_seq_index, 10)
+    w.write(cfg.prach_config_index, 6)
+    w.write(cfg.prach_freq_offset, 7)
+    w.write(cfg.zero_correlation_zone, 4)
+    return w.to_bytes()
+
+
+def decode_bcch(data: bytes):
+    """Returns ('sib2', Sib2UlConfig) / ('sib1', None) / None."""
+    try:
+        r = BitReader(data)
+        tag = r.read(4)
+        if tag == 1:
+            return ("sib1", None)
+        if tag != 2:
+            return None
+        cfg = Sib2UlConfig()
+        cfg.group_hopping = bool(r.read(1))
+        cfg.seq_hopping = bool(r.read(1))
+        cfg.cyclic_shift = r.read(3)
+        cfg.delta_ss = r.read(5)
+        cfg.hopping_mode_intersubframe = bool(r.read(1))
+        cfg.pusch_hopping_offset = r.read(7)
+        cfg.n_sb = r.read(2)
+        cfg.prach_root_seq_index = r.read(10)
+        cfg.prach_config_index = r.read(6)
+        cfg.prach_freq_offset = r.read(7)
+        cfg.zero_correlation_zone = r.read(4)
+        return ("sib2", cfg)
+    except (IndexError, ValueError):
+        return None

@@ -275,6 +275,8 @@ class LTESnifferCore:
         is_retx = t["is_retx"]
         crc_ok = res.crc_ok
         payload = None
+        if crc_ok and a.rnti == SIRNTI:
+            self._handle_sib(np.packbits(res.tb_bits).tobytes())
         if crc_ok:
             if (not t["is_special"]
                     and self.mcs.dl_table_of(a.rnti)
@@ -441,6 +443,19 @@ class LTESnifferCore:
                 is_retx=False,
                 table=trackers.McsTable.QAM256 if use256
                 else trackers.McsTable.QAM64))
+
+    def _handle_sib(self, payload: bytes):
+        """SI-RNTI PDSCH -> SIB2 UL config (`decode_SIB` -> `set_SIB2`,
+        `SubframeWorker.cc:240-252`)."""
+        from ltesniffer_tpu.mac_rrc import rrc as rrc_mod
+        if self.ulsche.sib2 is not None:
+            return
+        out = rrc_mod.decode_bcch(payload)
+        if out and out[0] == "sib2":
+            cfg = out[1]
+            self.ulsche.set_sib2(dataclasses.asdict(cfg))
+            if hasattr(self, "cyclic_shift_cfg"):
+                self.cyclic_shift_cfg = cfg.cyclic_shift
 
     def _api_dl(self, rnti: int, payload: bytes, sfn: int, sf: int):
         """Security-API extraction from DL MAC PDUs

@@ -131,3 +131,39 @@ def test_core_api_paging_and_conres(tmp_path):
     assert ue in c.api.records
     assert c.api.records[ue].tmsi == 0xC0FFEE11
     c.api.close()
+
+
+def test_sib2_codec_roundtrip():
+    cfg = rrc.Sib2UlConfig(group_hopping=True, cyclic_shift=5, delta_ss=17,
+                           pusch_hopping_offset=22, n_sb=2,
+                           prach_root_seq_index=713, prach_freq_offset=6,
+                           zero_correlation_zone=11)
+    kind, back = rrc.decode_bcch(rrc.encode_sib2(cfg))
+    assert kind == "sib2"
+    assert back == cfg
+
+
+def test_core_sib2_config_applied(tmp_path):
+    """SI-RNTI PDSCH carrying SIB2 configures the UL schedule + DMRS shift."""
+    from ltesniffer_tpu.phy.params import CellConfig
+    from ltesniffer_tpu.sniffer import core
+    from ltesniffer_tpu.testing import scenario
+    cell = CellConfig(n_id_cell=55, n_prb=50, nof_ports=2, nof_rx_ant=1)
+    sb = scenario.ScenarioBuilder(cell, seed=11)
+    sib2 = rrc.encode_sib2(rrc.Sib2UlConfig(cyclic_shift=4,
+                                            prach_root_seq_index=88))
+    for j in range(3):
+        txs = []
+        if j == 1:
+            txs.append(scenario.DlTx(rnti=0xFFFF, mac_pdu=sib2, n_prb=6))
+        sb.add_subframe(j, txs)
+    cfg = core.SnifferConfig(cell=cell, batch_size=4)
+    c = core.LTESnifferCoreUL(cfg)
+    # run DL-only through the dual loop with a silent UL stream
+    import numpy as np
+    ul = np.zeros(3 * cell.sf_len, np.complex64)
+    c.run_dual_samples(sb.stream(), ul)
+    assert c.ulsche.sib2 is not None
+    assert c.ulsche.sib2["cyclic_shift"] == 4
+    assert c.ulsche.sib2["prach_root_seq_index"] == 88
+    assert c.cyclic_shift_cfg == 4
