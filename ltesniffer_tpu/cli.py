@@ -30,7 +30,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", default="ltesniffer_dl_mode.pcap",
                    help="MAC-LTE pcap output")
     p.add_argument("-z", "--api-output", default=None,
-                   help="security-API pcap output")
+                   help="security-API pcap output (enables api mode)")
+    p.add_argument("-u", "--ul-input", default=None,
+                   help="UL carrier IQ trace (enables DL+UL mode)")
+    p.add_argument("--api", action="store_true",
+                   help="enable the security API (identity extraction)")
     p.add_argument("-n", "--nof-subframes", type=int, default=None)
     p.add_argument("-t", "--threshold", type=int, default=5,
                    help="RNTI histogram threshold")
@@ -49,11 +53,15 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    import os
     import numpy as np
     from ltesniffer_tpu.io import iq as iq_mod
     from ltesniffer_tpu.phy.params import CellConfig
-    from ltesniffer_tpu.sniffer import core, sync as sync_mod
+    from ltesniffer_tpu.sniffer import core, observability, sync as sync_mod
 
+    if not os.path.exists(args.input):
+        print(f"[cli] input file not found: {args.input}", file=sys.stderr)
+        return 2
     samples = iq_mod.read_iq(args.input)
     print(f"[cli] loaded {len(samples)} samples from {args.input}")
 
@@ -78,15 +86,27 @@ def main(argv=None) -> int:
 
     cell = CellConfig(n_id_cell=cell_id, n_prb=args.prb,
                       nof_ports=args.ports, nof_rx_ant=args.rx_antennas)
+    api_mode = 0 if (args.api or args.api_output) else -1
     cfg = core.SnifferConfig(cell=cell, batch_size=args.batch,
                              pcap_path=args.output,
                              api_pcap_path=args.api_output,
                              histogram_threshold=args.threshold,
-                             decode_pdsch=not args.no_pdsch)
-    sniffer = core.LTESnifferCore(cfg)
+                             decode_pdsch=not args.no_pdsch,
+                             api_mode=api_mode)
     t0 = time.time()
-    sniffer.run_samples(samples, sf_idx0=sf_idx0,
-                        max_subframes=args.nof_subframes)
+    if args.ul_input:
+        if not os.path.exists(args.ul_input):
+            print(f"[cli] UL input not found: {args.ul_input}",
+                  file=sys.stderr)
+            return 2
+        ul = iq_mod.read_iq(args.ul_input)
+        sniffer = core.LTESnifferCoreUL(cfg)
+        sniffer.run_dual_samples(samples, ul, sf_idx0=sf_idx0,
+                                 max_subframes=args.nof_subframes)
+    else:
+        sniffer = core.LTESnifferCore(cfg)
+        sniffer.run_samples(samples, sf_idx0=sf_idx0,
+                            max_subframes=args.nof_subframes)
     dt = time.time() - t0
     sniffer.close()
     s = sniffer.summary()
@@ -96,6 +116,11 @@ def main(argv=None) -> int:
           f"({s['subframes_per_s']} sf/s): {s['dcis']} DCIs, "
           f"{s['pdsch_ok']} PDSCH ok, {s['active_rntis']} active RNTIs")
     print(f"[cli] pcap written to {args.output}")
+    print(observability.format_dl_table(sniffer.mcs, sniffer.rm))
+    if getattr(sniffer, "ul_results", None):
+        print(observability.format_ul_table(sniffer.mcs))
+    if sniffer.api is not None:
+        print(observability.format_api_table(sniffer.api))
     if args.stats_json:
         with open(args.stats_json, "w") as f:
             json.dump(s, f, indent=2)

@@ -117,10 +117,19 @@ def estimate(grid, sf_idx, cell: CellConfig):
     snr_db = 10.0 * jnp.log10(jnp.maximum(rsrp, 1e-12)
                               / jnp.maximum(noise_var, 1e-12))
 
+    # fine CFO from CRS phase rotation across half a subframe (symbols 0->7,
+    # 4->11, i.e. 0.5 ms): eps_subcarriers = angle / (2*pi*7.5).  This is the
+    # estimate the reference feeds back into sync (`SubframeWorker.cc:203`).
+    c1 = cplx.cmul_conj(h_sm[:, :, :, 2], h_sm[:, :, :, 0])   # (B,RX,P,n2,2)
+    c2 = cplx.cmul_conj(h_sm[:, :, :, 3], h_sm[:, :, :, 1])
+    csum = jnp.sum((c1 + c2).reshape(c1.shape[0], -1, 2), axis=1)
+    cfo_sc = jnp.arctan2(csum[:, 1], csum[:, 0]) / (2.0 * np.pi * 7.5)
+
     # interpolate: freq then time (real weights; pair axis rides along)
     h_f = jnp.einsum("brptsc,pks->brptkc", h_sm, jnp.asarray(wf))
     h = jnp.einsum("brptkc,lt->brplkc", h_f, jnp.asarray(wt))
-    return {"h": h, "noise_var": noise_var, "rsrp": rsrp, "snr_db": snr_db}
+    return {"h": h, "noise_var": noise_var, "rsrp": rsrp, "snr_db": snr_db,
+            "cfo": cfo_sc}
 
 
 def equalize_sfbc(y, h, noise_var):

@@ -91,6 +91,7 @@ class LTESnifferCore:
         self.on_subframe = None   # hook(sf_ctx) for extensions
         self._searchers = {}
         self._mib_synced = False
+        self.est_cfo = 0.0        # residual CFO (subcarriers), EMA-tracked
 
     # ------------------------------------------------------------------
     def _searcher(self, cfi: int):
@@ -116,7 +117,14 @@ class LTESnifferCore:
         sf_idx = (sf_idx0 + np.arange(total)) % 10
         for a in range(0, total, self.cfg.batch_size):
             b = min(a + self.cfg.batch_size, total)
-            self.process_batch(frames[a:b], sf_idx[a:b].astype(np.int32))
+            blk = frames[a:b]
+            if abs(self.est_cfo) > 2e-3:
+                # worker-estimated CFO fed back into the stream, mirroring
+                # the reference's est_cfo channel (`SubframeWorker.cc:203`)
+                rot = np.exp(-2j * np.pi * self.est_cfo
+                             * np.arange(n) / self.cell.n_fft)
+                blk = (blk * rot[None, None, :]).astype(np.complex64)
+            self.process_batch(blk, sf_idx[a:b].astype(np.int32))
         return self.results
 
     # ------------------------------------------------------------------
@@ -127,6 +135,13 @@ class LTESnifferCore:
         fe = self.frontend(jnp.asarray(frames.astype(np.complex64)),
                            jnp.asarray(sf_idx))
         cfi = np.asarray(fe["cfi"])
+        # track residual CFO (EMA over high-SNR subframes)
+        snrs = np.asarray(fe["snr_db"])
+        cfos = np.asarray(fe["cfo"])
+        good = snrs > 6.0
+        if good.any():
+            est = float(np.mean(cfos[good]))
+            self.est_cfo = 0.9 * self.est_cfo + 0.1 * (self.est_cfo + est)
         # SFN acquisition from the first decodable MIB (subframe 0)
         if not self._mib_synced:
             for i in range(B):

@@ -53,7 +53,7 @@ def make_frontend(cell: CellConfig):
         cfi = 1 + jnp.argmax(corr, axis=-1).astype(jnp.int32)
         return {"grids": grids, "h": h, "noise_var": ch["noise_var"],
                 "snr_db": ch["snr_db"], "rsrp": ch["rsrp"],
-                "cfi": cfi, "cfi_corr": corr}
+                "cfo": ch["cfo"], "cfi": cfi, "cfi_corr": corr}
 
     def run(samples, sf_idx):
         x = np.asarray(samples)

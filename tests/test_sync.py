@@ -70,3 +70,37 @@ def test_subframe_tracker_frames():
     assert len(frames) == 6
     assert [s for s, _ in frames] == [0, 1, 2, 3, 4, 5]
     assert all(len(x) == cell.sf_len for _, x in frames)
+
+
+def test_chest_cfo_estimate_and_core_feedback():
+    """Fine CFO visible to chest; the core's feedback loop corrects it."""
+    import jax.numpy as jnp
+    from ltesniffer_tpu.sniffer import frontend, core
+    from ltesniffer_tpu.phy import dci as dci_mod, ra
+    cell = CellConfig(n_id_cell=77, n_prb=25, nof_ports=2)
+    rng = np.random.default_rng(7)
+    eps = 0.02   # small residual CFO in subcarrier units
+    d = dci_mod.Dci(fmt="1A", rnti=0xFFFF, fields=dict(
+        flag0_1a=1, riv=ra.start_len_to_riv(0, 4, 25), mcs=2))
+    h = encoder.flat_channel(cell, 1, rng, selective=False)
+    frames = []
+    for j in range(24):
+        g = encoder.build_control_subframe(cell, j % 10, 2, [
+            encoder.TxDci(dci=d, L=2, ncce=0)] if j % 10 == 5 else [])
+        iq = encoder.subframe_iq(cell, encoder.apply_channel(g, h, 0.03, rng))[0]
+        n0 = j * cell.sf_len
+        rot = np.exp(2j * np.pi * eps * (n0 + np.arange(cell.sf_len))
+                     / cell.n_fft)
+        frames.append((iq * rot).astype(np.complex64))
+    stream = np.concatenate(frames)
+
+    # chest-level estimate on the first subframe
+    fe = frontend.make_frontend(cell)
+    out = fe(stream[:cell.sf_len][None, None, :], np.asarray([0], np.int32))
+    assert abs(float(out["cfo"][0]) - eps) < 0.01
+
+    # core-level: feedback loop keeps SNR/decoding healthy across batches
+    cfg = core.SnifferConfig(cell=cell, batch_size=8, decode_pdsch=False)
+    c = core.LTESnifferCore(cfg)
+    c.run_samples(stream)
+    assert abs(c.est_cfo - eps) < 0.015
