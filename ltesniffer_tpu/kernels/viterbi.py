@@ -57,6 +57,11 @@ def viterbi_decode_tb(llrs, wrap: int = 32):
     ext = jnp.concatenate([llrs[:, :, D - w:], llrs, llrs[:, :, :w]], axis=-1)
     seq = jnp.moveaxis(ext, -1, 0)                     # (T, B, 3)
 
+    # survivor decisions are bit-packed into two uint32 words per (step,
+    # codeword): 8x less HBM traffic than a (T, B, 64) bool tensor — the
+    # traceback store/load is this kernel's memory bottleneck.
+    pack_w = jnp.asarray((1 << np.arange(32, dtype=np.int64)).astype(np.uint32))
+
     def step(pm, llr_t):
         # branch metrics for every (from-state, input): (B, 64, 2)
         bm = jnp.einsum("bi,sci->bsc", llr_t, signs)
@@ -64,17 +69,21 @@ def viterbi_decode_tb(llrs, wrap: int = 32):
         dec = cand[..., 1] > cand[..., 0]
         pm_new = jnp.where(dec, cand[..., 1], cand[..., 0])
         pm_new = pm_new - jnp.max(pm_new, axis=-1, keepdims=True)
-        return pm_new, dec
+        packed = jnp.stack(
+            [jnp.sum(jnp.where(dec[:, :32], pack_w, 0), axis=-1),
+             jnp.sum(jnp.where(dec[:, 32:], pack_w, 0), axis=-1)], axis=-1)
+        return pm_new, packed
 
     pm0 = jnp.zeros((B, 64), dtype=llrs.dtype)
-    pm_fin, decs = jax.lax.scan(step, pm0, seq)        # decs: (T, B, 64) bool
+    pm_fin, decs = jax.lax.scan(step, pm0, seq)        # decs: (T, B, 2) u32
 
     start = jnp.argmax(pm_fin, axis=-1).astype(jnp.int32)   # (B,)
     bidx = jnp.arange(B)
 
     def back(state, dec_t):
         bit = (state >> 5).astype(jnp.uint8)
-        j = dec_t[bidx, state].astype(jnp.int32)
+        word = dec_t[bidx, (state >> 5)]               # high/low word select
+        j = ((word >> (state & 31).astype(jnp.uint32)) & 1).astype(jnp.int32)
         prev = pred[state, j]
         return prev, bit
 

@@ -237,11 +237,26 @@ class UlGrant:
     dmrs_cs: int
     cqi_request: int
     tpc: int = 0
+    hop_bits: int = -1    # decoded Table 8.4-2 info (-1 = no hopping)
 
 
 def ul_grant_from_dci(dci: Dci, cell: CellConfig) -> UlGrant:
-    s, l = ra.riv_to_start_len(dci["riv"], cell.n_prb)
+    N = cell.n_prb
+    riv = dci["riv"]
+    hop_bits = -1
+    if dci["hopping"]:
+        # with the hopping flag set, the RA field's top 1-2 bits carry the
+        # hopping info (36.213 8.4, Table 8.4-2); the rest is the RIV
+        n_hop = 1 if N < 50 else 2
+        nbits = ra.riv_nbits(N)
+        raw = (riv >> (nbits - n_hop)) & ((1 << n_hop) - 1)
+        riv = riv & ((1 << (nbits - n_hop)) - 1)
+        if n_hop == 1:
+            hop_bits = 2 if raw == 0 else 3      # N/2 offset | type 2
+        else:
+            hop_bits = raw                       # +N/4, -N/4, N/2, type2
+    s, l = ra.riv_to_start_len(riv, N)
     return UlGrant(rnti=dci.rnti, prb_start=s, n_prb=l, mcs=dci["mcs"],
                    ndi=dci["ndi"], hopping=dci["hopping"],
                    dmrs_cs=dci["dmrs_cs"], cqi_request=dci["cqi_request"],
-                   tpc=dci["tpc"])
+                   tpc=dci["tpc"], hop_bits=hop_bits)

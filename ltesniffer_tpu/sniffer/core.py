@@ -214,8 +214,15 @@ class LTESnifferCore:
     def _handle_ul_dci(self, a: dci_search.AcceptedDci, sfn: int, sf: int):
         d = dci_mod.unpack(a.payload, "0", self.cell, rnti=a.rnti)
         g = dci_mod.ul_grant_from_dci(d, self.cell)
+        prb_start = g.prb_start
+        if g.hopping and g.hop_bits >= 0:
+            from ltesniffer_tpu.phy import ra
+            sib2 = self.ulsche.sib2 or {}
+            prb_start = ra.ul_hopping_prbs(
+                g.prb_start, g.n_prb, self.cell.n_prb, g.hop_bits,
+                sib2.get("n_sb", 1), sib2.get("pusch_hopping_offset", 0))
         self.ulsche.push_dci0(trackers.tti_of(sfn, sf), trackers.UlGrantPending(
-            rnti=a.rnti, tti_apply=0, mcs=g.mcs, prb_start=g.prb_start,
+            rnti=a.rnti, tti_apply=0, mcs=g.mcs, prb_start=prb_start,
             n_prb=g.n_prb, ndi=g.ndi, hopping=g.hopping, dmrs_cs=g.dmrs_cs,
             cqi_request=g.cqi_request))
         st = self.mcs.stat_ul(a.rnti)

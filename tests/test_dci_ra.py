@@ -142,3 +142,38 @@ def test_all_locations_cap_and_order():
     assert locs[0][0] == 3  # L=8 first
     ls = [l for l, _ in locs]
     assert ls == sorted(ls, reverse=True)
+
+
+def test_ul_grant_hopping_field_extraction():
+    # hopping flag: top RA bit(s) become hopping info, rest is the RIV
+    nbits = ra.riv_nbits(50)
+    base_riv = ra.start_len_to_riv(4, 8, 50)
+    d = dci.Dci(fmt="0", rnti=9, fields=dict(
+        flag0_1a=0, hopping=1, riv=base_riv, mcs=5, ndi=0, dmrs_cs=0,
+        cqi_request=0))
+    g = dci.ul_grant_from_dci(d, CELL50)
+    # 50 PRB -> 2 hopping bits (Table 8.4-1); this riv's top bits are 00
+    assert g.hopping == 1 and g.hop_bits == 0
+    # 25 PRB cell: single hopping bit maps to {N/2, type2}
+    cell25 = CellConfig(n_id_cell=1, n_prb=25, nof_ports=2)
+    d25 = dci.Dci(fmt="0", rnti=9, fields=dict(
+        flag0_1a=0, hopping=1, riv=ra.start_len_to_riv(2, 4, 25), mcs=5,
+        ndi=0, dmrs_cs=0, cqi_request=0))
+    g25 = dci.ul_grant_from_dci(d25, cell25)
+    assert g25.hop_bits in (2, 3)
+    # no hopping: grant decodes the full RIV
+    d2 = dci.Dci(fmt="0", rnti=9, fields=dict(
+        flag0_1a=0, hopping=0, riv=base_riv, mcs=5, ndi=0, dmrs_cs=0,
+        cqi_request=0))
+    g2 = dci.ul_grant_from_dci(d2, CELL50)
+    assert (g2.prb_start, g2.n_prb) == (4, 8) and g2.hop_bits == -1
+
+
+def test_ul_hopping_offset_math():
+    # type-1 N/2 offset with no hopping region reduction
+    s = ra.ul_hopping_prbs(4, 8, 50, hopping_bits=2, n_sb=1,
+                           hopping_offset=0)
+    assert s == (4 + 50 // 2) % 50
+    s2 = ra.ul_hopping_prbs(4, 8, 48, hopping_bits=0, n_sb=2,
+                            hopping_offset=0)
+    assert s2 == (48 // 4 + 4) % 48
