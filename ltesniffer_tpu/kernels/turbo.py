@@ -115,12 +115,130 @@ def _bcjr(l_in, l_par, tail_sys, tail_par):
     return jnp.moveaxis(m0 - m1, 0, 1)        # (B, K)
 
 
+def _window_len(K: int) -> int:
+    """Largest power-of-two window <= 64 dividing K (K sizes are 8|16|32|64
+    aligned by construction of the 36.212 ladder)."""
+    for w in (64, 32, 16, 8):
+        if K % w == 0:
+            return w
+    return K
+
+
+def _bcjr_pw(l_in, l_par, tail_sys, tail_par, alpha_b, beta_b, W: int):
+    """Parallel-window max-log BCJR.
+
+    The K-step trellis is split into NW windows of W steps processed in
+    parallel; window boundary metrics (alpha at each window end, beta at each
+    window start) are inherited from the previous turbo iteration
+    (next-iteration initialization) — the standard high-throughput BCJR
+    decomposition, here expressed as a `lax.scan` of only W steps over
+    (B, NW, 8) state tensors.
+
+    alpha_b/beta_b: (B, NW, 8) boundary metrics from the previous iteration
+    (window 0's alpha and the last window's beta are overridden by the known
+    trellis start / tail termination).
+    Returns (llr (B, K), alpha_b', beta_b').
+    """
+    t = _trellis()
+    ns = jnp.asarray(t["ns"])
+    prev_s = jnp.asarray(t["prev_s"])
+    prev_x = jnp.asarray(t["prev_x"])
+    B, K = l_in.shape
+    NW = K // W
+    g = _gammas(l_in, l_par).reshape(B, NW, W, 8, 2)
+    g_t = jnp.moveaxis(g, 2, 0)                    # (W, B, NW, 8, 2)
+
+    known0 = jnp.full((B, 1, 8), NEG).at[:, :, 0].set(0.0)
+    alpha_init = jnp.concatenate([known0, alpha_b[:, :-1]], axis=1)
+    beta_K = _beta_init_from_tail(tail_sys, tail_par)     # (B, 8)
+    beta_init = jnp.concatenate([beta_b[:, 1:], beta_K[:, None]], axis=1)
+
+    def fwd(alpha, g_k):
+        inc = alpha[:, :, prev_s] + g_k[:, :, prev_s, prev_x]
+        a = jnp.max(inc, axis=-1)
+        a = a - jnp.max(a, axis=-1, keepdims=True)
+        return a, a
+
+    a_end, alphas = jax.lax.scan(fwd, alpha_init, g_t)    # (W, B, NW, 8)
+    alphas = jnp.concatenate([alpha_init[None], alphas[:-1]], axis=0)
+
+    def bwd(beta, g_k):
+        cand = g_k + beta[:, :, ns]
+        b = jnp.max(cand, axis=-1)
+        b = b - jnp.max(b, axis=-1, keepdims=True)
+        return b, b
+
+    b_start, betas = jax.lax.scan(bwd, beta_init, g_t, reverse=True)
+    betas_kp1 = jnp.concatenate([betas[1:], beta_init[None]], axis=0)
+
+    full = alphas[..., None] + g_t + betas_kp1[:, :, :, ns]
+    m0 = jnp.max(full[..., 0], axis=-1)            # (W, B, NW)
+    m1 = jnp.max(full[..., 1], axis=-1)
+    llr = jnp.moveaxis(m0 - m1, 0, 2).reshape(B, K)
+    return llr, a_end, b_start
+
+
 @functools.lru_cache(maxsize=64)
-def make_decoder(K: int, n_iter: int = 8):
+def make_decoder(K: int, n_iter: int = 8, windowed: bool | None = None):
     """Jitted turbo decoder for code-block size K.
 
     fn(d_llrs (B, 3, K+4)) -> (bits (B, K) uint8, llr (B, K) float32).
+    ``windowed`` (default: K >= 512) selects the parallel-window BCJR.
     """
+    if windowed is None:
+        windowed = K >= 512
+    if windowed:
+        return _make_decoder_pw(K, n_iter)
+    return _make_decoder_full(K, n_iter)
+
+
+@functools.lru_cache(maxsize=64)
+def _make_decoder_pw(K: int, n_iter: int):
+    pi = tables.qpp_interleave_indices(K).astype(np.int32)
+    de = np.zeros(K, dtype=np.int32)
+    de[pi] = np.arange(K, dtype=np.int32)
+    W = _window_len(K)
+    NW = K // W
+
+    @jax.jit
+    def decode(d_llrs):
+        d0 = d_llrs[:, 0, :]
+        d1 = d_llrs[:, 1, :]
+        d2 = d_llrs[:, 2, :]
+        l_sys = d0[:, :K]
+        l_p1 = d1[:, :K]
+        l_p2 = d2[:, :K]
+        t1_sys = jnp.stack([d0[:, K], d2[:, K], d1[:, K + 1]], axis=1)
+        t1_par = jnp.stack([d1[:, K], d0[:, K + 1], d2[:, K + 1]], axis=1)
+        t2_sys = jnp.stack([d0[:, K + 2], d2[:, K + 2], d1[:, K + 3]], axis=1)
+        t2_par = jnp.stack([d1[:, K + 2], d0[:, K + 3], d2[:, K + 3]], axis=1)
+        l_sys_i = l_sys[:, pi]
+        B = l_sys.shape[0]
+        zb = jnp.zeros((B, NW, 8), jnp.float32)
+
+        def body(carry, _):
+            apr1, a1, b1, a2, b2 = carry
+            llr1, a1n, b1n = _bcjr_pw(l_sys + apr1, l_p1, t1_sys, t1_par,
+                                      a1, b1, W)
+            ext1 = llr1 - l_sys - apr1
+            apr2 = ext1[:, pi]
+            llr2, a2n, b2n = _bcjr_pw(l_sys_i + apr2, l_p2, t2_sys, t2_par,
+                                      a2, b2, W)
+            ext2 = llr2 - l_sys_i - apr2
+            return (ext2[:, de], a1n, b1n, a2n, b2n), llr2
+
+        init = (jnp.zeros_like(l_sys), zb, zb, zb, zb)
+        (_, *_rest), llr2s = jax.lax.scan(body, init, None, length=n_iter)
+        llr_final = llr2s[-1][:, de]
+        bits = (llr_final < 0).astype(jnp.uint8)
+        return bits, llr_final
+
+    return decode
+
+
+@functools.lru_cache(maxsize=64)
+def _make_decoder_full(K: int, n_iter: int = 8):
+    """Full-length-scan decoder (exact; used for short blocks)."""
     pi = tables.qpp_interleave_indices(K).astype(np.int32)
     de = np.zeros(K, dtype=np.int32)
     de[pi] = np.arange(K, dtype=np.int32)
