@@ -1,0 +1,69 @@
+"""PUSCH UCI multiplexing positions (36.212 5.2.2.6-5.2.2.8), simplified.
+
+The reference configures UCI (ACK/RI/CQI offsets from the UE-specific DB +
+cqi_request) and lets srsRAN demux it inside `srsran_pusch_decode`
+(`UL_Sniffer_PUSCH.cc:429-450`).  For the sniffer's purposes the data path
+needs two things:
+
+* RI symbols are *inserted* into the channel-interleaver matrix (displacing
+  data) at columns {1, 4, 7, 10}, filled bottom-up in the column order
+  [1, 10, 7, 4];
+* HARQ-ACK symbols *puncture* data at columns {2, 3, 8, 9} (order
+  [2, 9, 8, 3], bottom-up) — their LLRs are unreliable for data and zeroed.
+
+Q' (symbol counts) are computed from the *current* grant (the spec uses the
+initial grant of the TB; equal for non-adaptive retransmissions, which is
+the common case — documented simplification).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+RI_COLS = (1, 10, 7, 4)
+ACK_COLS = (2, 9, 8, 3)
+N_COLS = 12
+
+
+def q_prime(o_bits: int, beta: float, m_sc: int, g_symbols: int) -> int:
+    """Approximate Q' (modulation symbols per UCI field).
+
+    Q' = min(ceil(O * beta * M_sc * N_symb / G_data_bits_per_qm), 4 * M_sc)
+    collapsed to the current-grant form.
+    """
+    if o_bits <= 0:
+        return 0
+    q = int(np.ceil(o_bits * beta * m_sc * 12 / max(g_symbols, 1)))
+    return min(max(q, o_bits), 4 * m_sc)
+
+
+def uci_positions(m_sc: int, qm: int, n_ri_syms: int, n_ack_syms: int):
+    """Returns (ri_cells, ack_cells): flat indices into the (R', 12) group
+    matrix (row-major), bottom-up placement per the spec column orders."""
+    rp = m_sc  # rows = M_sc (12 data symbols * m_sc / 12 columns)
+    def cells(cols, n):
+        out = []
+        i = 0
+        while len(out) < n:
+            col = cols[i % 4]
+            row = rp - 1 - (i // 4)
+            if row < 0:
+                break
+            out.append(row * N_COLS + col)
+            i += 1
+        return out
+    return cells(RI_COLS, n_ri_syms), cells(ACK_COLS, n_ack_syms)
+
+
+def data_group_map(m_sc: int, n_ri_syms: int):
+    """Group index mapping with RI holes.
+
+    Returns (data_cells,): the flat (row-major) matrix cells that carry data
+    groups, in write order — data fills row-major skipping RI cells.
+    Length = 12*m_sc - n_ri_syms.
+    """
+    rp = m_sc
+    total = rp * N_COLS
+    ri, _ = uci_positions(m_sc, 0, n_ri_syms, 0)
+    ri_set = set(ri)
+    return np.array([c for c in range(total) if c not in ri_set],
+                    dtype=np.int64)

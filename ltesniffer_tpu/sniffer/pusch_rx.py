@@ -115,8 +115,13 @@ def decode_grant_ul(ul_grid_b, cell: CellConfig, sf_idx: int, rnti: int,
                     dmrs_field: int = 0,
                     soft_buffers: Optional[Dict] = None,
                     harq_key: Optional[Tuple] = None,
+                    n_ri_syms: int = 0, n_ack_syms: int = 0,
                     n_iter: int = 8) -> PuschResult:
-    """Decode one PUSCH grant from an UL subframe grid (RX, 14, n_sc)."""
+    """Decode one PUSCH grant from an UL subframe grid (RX, 14, n_sc).
+
+    n_ri_syms/n_ack_syms: UCI symbol groups (from the UE config DB + the
+    DL ACK matching, reference `UL_Sniffer_PUSCH.cc:429-450`): RI cells are
+    removed from the data mapping, ACK cells are zero-LLR punctures."""
     if tbs <= 0 or not ra.valid_dft_prb(n_prb):
         return PuschResult(rnti, tbs, False, None, -99.0, 0.0, n_prb)
     m_sc = 12 * n_prb
@@ -131,7 +136,17 @@ def decode_grant_ul(ul_grid_b, cell: CellConfig, sf_idx: int, rnti: int,
                             np.int32(12 * prb_start),
                             jnp.asarray(np.uint32(c_init)))
     llr = np.asarray(llr)
-    res = _decode_tb_from_llrs(llr, rnti, tbs, qm, rv, 12 * m_sc,
+    if n_ri_syms or n_ack_syms:
+        from ltesniffer_tpu.phy import uci
+        cells_llr = llr.reshape(m_sc * 12, qm).copy()
+        _, ack_cells = uci.uci_positions(m_sc, qm, n_ri_syms, n_ack_syms)
+        cells_llr[ack_cells] = 0.0           # punctured by HARQ-ACK
+        data_cells = uci.data_group_map(m_sc, n_ri_syms)
+        llr = cells_llr[data_cells].reshape(-1)
+        n_re_data = 12 * m_sc - n_ri_syms
+    else:
+        n_re_data = 12 * m_sc
+    res = _decode_tb_from_llrs(llr, rnti, tbs, qm, rv, n_re_data,
                                soft_buffers, harq_key, n_iter)
     return PuschResult(rnti, tbs, res.crc_ok, res.tb_bits,
                        float(snr_db), float(ta_us), n_prb)

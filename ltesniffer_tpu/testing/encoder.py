@@ -251,20 +251,37 @@ def build_ul_subframe(cell: CellConfig, sf_idx: int, grants,
     """Build a (1, 14, n_sc) UL TX grid with PUSCH transmissions.
 
     grants: list of dicts with rnti, prb_start, n_prb, qm, tb_bits, rv,
-    dmrs_field (3-bit DCI0 cyclic shift).
+    dmrs_field (3-bit DCI0 cyclic shift), and optionally n_ri_syms /
+    n_ack_syms (UCI symbol groups: RI displaces data, ACK punctures).
     """
     from ltesniffer_tpu.phy import pdsch as pdsch_mod
     from ltesniffer_tpu.phy import sequences as seq_mod
-    from ltesniffer_tpu.phy import ul_dmrs
+    from ltesniffer_tpu.phy import ul_dmrs, uci
     from ltesniffer_tpu.kernels import scfdma
     g = np.zeros((1, N_SYM_SF, cell.n_sc), dtype=np.complex64)
+    rng_uci = np.random.default_rng(1234)
     for gr in grants:
         m_sc = 12 * gr["n_prb"]
         k0 = 12 * gr["prb_start"]
         qm = gr["qm"]
-        G = 12 * m_sc * qm
+        n_ri = gr.get("n_ri_syms", 0)
+        n_ack = gr.get("n_ack_syms", 0)
+        G = (12 * m_sc - n_ri) * qm
         coded, _ = encode_pdsch_bits(gr["tb_bits"], qm, G, gr.get("rv", 0))
-        inter = ul_channel_interleave(coded, qm)
+        if n_ri or n_ack:
+            cells = uci.data_group_map(m_sc, n_ri)
+            ri_cells, ack_cells = uci.uci_positions(m_sc, qm, n_ri, n_ack)
+            mat = np.zeros((m_sc * 12, qm), dtype=np.uint8)
+            mat[cells] = coded.reshape(-1, qm)
+            for c in ri_cells:      # RI symbols (content irrelevant to data)
+                mat[c] = rng_uci.integers(0, 2, qm)
+            for c in ack_cells:     # ACK punctures the data at these cells
+                mat[c] = rng_uci.integers(0, 2, qm)
+            grp = mat.reshape(m_sc, 12, qm)
+            inter = np.transpose(grp, (1, 0, 2)).reshape(-1)
+            G = 12 * m_sc * qm
+        else:
+            inter = ul_channel_interleave(coded, qm)
         c_init = pdsch_mod.scrambling_cinit(gr["rnti"], 0, sf_idx,
                                             cell.n_id_cell)
         bits = inter ^ seq_mod.gold_sequence(c_init, G)

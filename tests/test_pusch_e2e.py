@@ -92,3 +92,21 @@ def test_dmrs_properties():
     np.testing.assert_allclose(np.abs(a), 1.0, atol=1e-5)
     assert np.abs(np.vdot(a, b)) / len(a) < 0.5
     assert not np.allclose(a, c)
+
+
+def test_pusch_with_uci_ri_and_ack():
+    """RI displaces data groups; ACK punctures — decode still clean."""
+    rng = np.random.default_rng(9)
+    n_ri, n_ack = 8, 12
+    gr = _grant(0x7606, 4, 10, 2, 6, rng)
+    gr["n_ri_syms"], gr["n_ack_syms"] = n_ri, n_ack
+    grid = _tx_rx([gr], 3, rng, noise=0.03)
+    res = pusch_rx.decode_grant_ul(grid, CELL, 3, gr["rnti"], 4, 10, 2,
+                                   gr["tbs"], n_ri_syms=n_ri,
+                                   n_ack_syms=n_ack)
+    assert res.crc_ok
+    np.testing.assert_array_equal(res.tb_bits, gr["tb_bits"])
+    # note: ignoring the UCI layout only corrupts the matrix tail (RI/ACK
+    # cells sit in the bottom rows), which the turbo code can often absorb —
+    # so no negative assertion here; the positive mapping equality above is
+    # the meaningful check.
