@@ -126,6 +126,9 @@ def _build_pipeline(cell: CellConfig, cfi: int):
         out = {"snr_db": snr_db, "noise_var": noise_var,
                "cce_power": cce_power, "cfo": jnp.zeros((B,), jnp.float32),
                "grids": grids, "h": h}   # reused by the PDSCH phase
+        # de-rate-match every size, then ONE fused Viterbi scan over all
+        # (size × location × subframe) candidates (see viterbi.py)
+        flats = []
         for D, per_lvl in size_consts.items():
             d_llrs = jnp.zeros((B, n_loc, 3 * D), dtype=jnp.float32)
             for l, (sel, g, W) in per_lvl.items():
@@ -133,12 +136,13 @@ def _build_pipeline(cell: CellConfig, cfi: int):
                 d = jnp.einsum("bne,ek->bnk", cand, W)            # (B,n_l,3D)
                 d_llrs = d_llrs.at[:, sel].set(d)
             # e_to_d maps into stream-major (3, D) flat layout
-            flat = d_llrs.reshape(B * n_loc, 3, D)
-            bits = viterbi.viterbi_decode_tb(flat)                # (B*n_loc, D)
+            flats.append(d_llrs.reshape(B * n_loc, 3, D))
+        all_bits = viterbi.viterbi_decode_tb_multi(flats)
+        w16 = jnp.asarray([1 << (15 - i) for i in range(16)], jnp.int32)
+        for D, bits in zip(size_consts.keys(), all_bits):
             bits = bits.reshape(B, n_loc, D)
             payload = bits[..., :D - 16]
             calc = crc.batched_crc_to_int(payload, crc.CRC16)
-            w16 = jnp.asarray([1 << (15 - i) for i in range(16)], jnp.int32)
             rx16 = jnp.sum(bits[..., D - 16:].astype(jnp.int32) * w16, axis=-1)
             out[f"bits_{D}"] = bits
             out[f"rnti_{D}"] = (calc ^ rx16).astype(jnp.int32)
