@@ -116,9 +116,11 @@ def _bcjr(l_in, l_par, tail_sys, tail_par):
 
 
 def _window_len(K: int) -> int:
-    """Largest power-of-two window <= 64 dividing K (K sizes are 8|16|32|64
-    aligned by construction of the 36.212 ladder)."""
-    for w in (64, 32, 16, 8):
+    """Largest power-of-two window <= 32 dividing K (K sizes are 8|16|32|64
+    aligned by construction of the 36.212 ladder).  W=32 measures fastest on
+    TPU (half the sequential steps of W=64 at equal accuracy with
+    next-iteration boundary initialization)."""
+    for w in (32, 16, 8):
         if K % w == 0:
             return w
     return K
@@ -178,12 +180,15 @@ def _bcjr_pw(l_in, l_par, tail_sys, tail_par, alpha_b, beta_b, W: int):
     return llr, a_end, b_start
 
 
-@functools.lru_cache(maxsize=64)
 def make_decoder(K: int, n_iter: int = 8, windowed: bool | None = None):
     """Jitted turbo decoder for code-block size K.
 
     fn(d_llrs (B, 3, K+4)) -> (bits (B, K) uint8, llr (B, K) float32).
-    ``windowed`` (default: K >= 512) selects the parallel-window BCJR.
+    ``windowed`` (default: K >= 512) selects the parallel-window BCJR
+    (`_bcjr_pw2`: butterfly ACS, fwd+bwd fused in one scan).  A Pallas
+    BCJR variant exists (`_make_decoder_pallas`) but measures slower than
+    the XLA formulation on this backend (per-grid-step launch overhead), so
+    the XLA path is the default on all platforms.
     """
     if windowed is None:
         windowed = K >= 512
@@ -193,11 +198,229 @@ def make_decoder(K: int, n_iter: int = 8, windowed: bool | None = None):
 
 
 @functools.lru_cache(maxsize=64)
-def _make_decoder_pw(K: int, n_iter: int):
+def _make_decoder_pallas(K: int, n_iter: int, interpret: bool | None = None):
+    """Parallel-window decoder driving the Pallas BCJR kernel.
+
+    Same algorithm as `_make_decoder_pw` (max-log-MAP, next-iteration
+    window-boundary initialization); the whole W-step forward/backward pass
+    runs inside one Pallas program per constituent decoder per iteration.
+    """
+    from ltesniffer_tpu.kernels import turbo_pallas
+
     pi = tables.qpp_interleave_indices(K).astype(np.int32)
     de = np.zeros(K, dtype=np.int32)
     de[pi] = np.arange(K, dtype=np.int32)
     W = _window_len(K)
+    NW = K // W
+
+    @functools.lru_cache(maxsize=8)
+    def _consts(B: int):
+        """Per-batch-size constant index maps (everything stays in the
+        (W, L) window-major lane layout across iterations; the permutes and
+        window-boundary shifts are single constant-index gathers)."""
+        L0 = B * NW
+        L = -(-L0 // 128) * 128
+        lane_b = np.arange(L) // NW          # code block of each lane
+        lane_w = np.arange(L) % NW           # window of each lane
+        lane_b[L0:] = 0
+        lane_w[L0:] = 0
+
+        def perm_w(p):
+            # window-layout flat gather index for apr_dst[k] = ext_src[p[k]]
+            idx = np.arange(W * L, dtype=np.int32).reshape(W, L)
+            for lane in range(L0):
+                b, w = lane // NW, lane % NW
+                k = w * W + np.arange(W)                  # dst positions
+                src = p[k]
+                idx[:, lane] = (src % W) * L + b * NW + src // W
+            return idx.reshape(-1)
+
+        # alpha shift: window w inherits a_end of window w-1 (same block)
+        sia = np.where(lane_w > 0, np.arange(L) - 1, np.arange(L))
+        mask_a = (lane_w > 0).astype(np.float32)[None, :]
+        const_a = np.where(mask_a > 0, 0.0, NEG) * np.ones((8, 1), np.float32)
+        const_a[0] = 0.0                                   # known state 0
+        const_a[:, L0:] = 0.0
+        mask_a[:, L0:] = 0.0
+        # beta shift: window w inherits b_start of window w+1; last window
+        # gets the tail-terminated beta_K (data-dependent, masked in)
+        sib = np.where(lane_w < NW - 1, np.arange(L) + 1, np.arange(L))
+        is_last = (lane_w == NW - 1)
+        is_last[L0:] = False
+        mask_b = (~is_last).astype(np.float32)[None, :]
+        return dict(L0=L0, L=L, pi_w=perm_w(pi), de_w=perm_w(de),
+                    sia=sia.astype(np.int32), mask_a=mask_a, const_a=const_a,
+                    sib=sib.astype(np.int32), mask_b=mask_b,
+                    is_last=is_last, lane_b=lane_b.astype(np.int32))
+
+    @jax.jit
+    def decode(d_llrs):
+        d0 = d_llrs[:, 0, :]
+        d1 = d_llrs[:, 1, :]
+        d2 = d_llrs[:, 2, :]
+        l_sys = d0[:, :K]
+        t1_sys = jnp.stack([d0[:, K], d2[:, K], d1[:, K + 1]], axis=1)
+        t1_par = jnp.stack([d1[:, K], d0[:, K + 1], d2[:, K + 1]], axis=1)
+        t2_sys = jnp.stack([d0[:, K + 2], d2[:, K + 2], d1[:, K + 3]], axis=1)
+        t2_par = jnp.stack([d1[:, K + 2], d0[:, K + 3], d2[:, K + 3]], axis=1)
+        B = l_sys.shape[0]
+        c = _consts(B)
+        L0, L = c["L0"], c["L"]
+        pad = L - L0
+        bcjr = turbo_pallas.make_bcjr(W, L, interpret=interpret)
+
+        def to_w(x):      # (B, K) -> (W, L) window-major lanes
+            xw = jnp.transpose(x.reshape(B, NW, W), (2, 0, 1)).reshape(W, L0)
+            return jnp.pad(xw, ((0, 0), (0, pad)))
+
+        # layout conversions happen ONCE; the loop runs in window layout
+        l_sys_w = to_w(l_sys)
+        l_sys_iw = to_w(l_sys[:, pi])
+        lp1w = to_w(d1[:, :K])
+        lp2w = to_w(d2[:, :K])
+        # tail-terminated beta_K scattered into the last-window lanes
+        bK1 = _beta_init_from_tail(t1_sys, t1_par).T          # (8, B)
+        bK2 = _beta_init_from_tail(t2_sys, t2_par).T
+        is_last = jnp.asarray(c["is_last"])[None, :]
+        betaK1_full = jnp.where(is_last, bK1[:, c["lane_b"]], 0.0)
+        betaK2_full = jnp.where(is_last, bK2[:, c["lane_b"]], 0.0)
+        mask_a = jnp.asarray(c["mask_a"])
+        const_a = jnp.asarray(c["const_a"])
+        mask_b = jnp.asarray(c["mask_b"])
+
+        def shift_a(a_end):
+            return a_end[:, c["sia"]] * mask_a + const_a
+
+        def shift_b(b_start, betaK_full):
+            return b_start[:, c["sib"]] * mask_b + betaK_full
+
+        zero_b = jnp.zeros((8, L), jnp.float32)
+        zero_w = jnp.zeros((W, L), jnp.float32)
+        init = (zero_w, shift_a(zero_b), shift_b(zero_b, betaK1_full),
+                shift_a(zero_b), shift_b(zero_b, betaK2_full), zero_w, zero_w)
+
+        def body(carry, _):
+            apr1, a1, b1, a2, b2, _e, _a = carry
+            ext1, a1e, b1s = bcjr(apr1, l_sys_w, lp1w, a1, b1)
+            apr2 = ext1.reshape(-1)[c["pi_w"]].reshape(W, L)
+            ext2, a2e, b2s = bcjr(apr2, l_sys_iw, lp2w, a2, b2)
+            apr1n = ext2.reshape(-1)[c["de_w"]].reshape(W, L)
+            return (apr1n, shift_a(a1e), shift_b(b1s, betaK1_full),
+                    shift_a(a2e), shift_b(b2s, betaK2_full), ext2, apr2), None
+
+        (_, _, _, _, _, ext2, apr2), _ = jax.lax.scan(
+            body, init, None, length=n_iter)
+        llr2w = ext2 + apr2 + l_sys_iw                     # full LLR, dec-2
+        llr2 = jnp.transpose(
+            llr2w[:, :L0].reshape(W, B, NW), (1, 2, 0)).reshape(B, K)
+        llr_final = llr2[:, de]
+        bits = (llr_final < 0).astype(jnp.uint8)
+        return bits, llr_final
+
+    return decode
+
+
+@functools.lru_cache(maxsize=1)
+def _butterfly_consts():
+    """Gather-free BCJR constants exploiting the RSC shift structure.
+
+    With s=(s1,s2,s3) and next = (a, s1, s2) (a = x ^ fb(s), fb = s2^s3,
+    `phy/turbo.py:91-111`), state n=(a<<2)|m has the adjacent predecessor
+    pair (2m, 2m+1) — so add-compare-select is a reshape butterfly, and all
+    ±1 sign tables below are compile-time constants.
+    """
+    t = turbo_host.rsc_tables()
+    par = t["parity"]
+    fb = np.array([((s >> 1) & 1) ^ (s & 1) for s in range(8)])
+    SXF = np.zeros((2, 4, 2), np.float32)   # fwd: [a, m, j] for s=2m+j
+    SZF = np.zeros((2, 4, 2), np.float32)
+    for a in range(2):
+        for m in range(4):
+            for j in range(2):
+                s = 2 * m + j
+                x = a ^ fb[s]
+                SXF[a, m, j] = 1.0 - 2.0 * x
+                SZF[a, m, j] = 1.0 - 2.0 * par[s, x]
+    SXB = np.zeros((8, 2), np.float32)      # bwd: [s, d] with d = a
+    SZB = np.zeros((8, 2), np.float32)
+    for s in range(8):
+        for d in range(2):
+            x = d ^ fb[s]
+            SXB[s, d] = 1.0 - 2.0 * x
+            SZB[s, d] = 1.0 - 2.0 * par[s, x]
+    SZL0 = (1.0 - 2.0 * par[:, 0]).astype(np.float32)   # llr, x=0
+    SZL1 = (1.0 - 2.0 * par[:, 1]).astype(np.float32)
+    return dict(SXF=SXF, SZF=SZF, SXB=SXB, SZB=SZB,
+                SZL0=SZL0, SZL1=SZL1, FB=fb.astype(bool))
+
+
+def _bcjr_pw2(l_in, l_par, tail_sys, tail_par, alpha_b, beta_b, W: int):
+    """Parallel-window max-log BCJR, v2: butterfly ACS (no gathers) and the
+    forward & backward recursions fused into ONE `lax.scan` of W steps (the
+    backward runs on the time-reversed sequence concurrently), halving the
+    sequential depth vs `_bcjr_pw`.  Same interface/semantics.
+    """
+    c = _butterfly_consts()
+    SXF = jnp.asarray(c["SXF"])
+    SZF = jnp.asarray(c["SZF"])
+    SXB = jnp.asarray(c["SXB"])
+    SZB = jnp.asarray(c["SZB"])
+    B, K = l_in.shape
+    NW = K // W
+    li = jnp.moveaxis(0.5 * l_in.reshape(B, NW, W), 2, 0)    # (W, B, NW)
+    lp = jnp.moveaxis(0.5 * l_par.reshape(B, NW, W), 2, 0)
+
+    known0 = jnp.full((B, 1, 8), NEG).at[:, :, 0].set(0.0)
+    alpha_init = jnp.concatenate([known0, alpha_b[:, :-1]], axis=1)
+    beta_K = _beta_init_from_tail(tail_sys, tail_par)        # (B, 8)
+    beta_init = jnp.concatenate([beta_b[:, 1:], beta_K[:, None]], axis=1)
+
+    xs = (li, lp, jnp.flip(li, axis=0), jnp.flip(lp, axis=0))
+
+    def step(carry, inp):
+        alpha, beta = carry
+        af, bf, ab, bb = inp
+        # forward butterfly: n=(a<<2)|m from pair (2m, 2m+1)
+        g = af[..., None, None, None] * SXF + bf[..., None, None, None] * SZF
+        cand = alpha.reshape(B, NW, 1, 4, 2) + g             # (B,NW,2,4,2)
+        anew = jnp.max(cand, axis=-1).reshape(B, NW, 8)
+        anew = anew - jnp.max(anew, axis=-1, keepdims=True)
+        # backward butterfly: targets of s are (d<<2)|(s>>1), d in {0,1}
+        bbt = jnp.swapaxes(beta.reshape(B, NW, 2, 4), -1, -2)  # (B,NW,4,2)
+        bbp = jnp.repeat(bbt, 2, axis=-2)                    # (B,NW,8,2)
+        bcand = (ab[..., None, None] * SXB + bb[..., None, None] * SZB
+                 + bbp)
+        bnew = jnp.max(bcand, axis=-1)
+        bnew = bnew - jnp.max(bnew, axis=-1, keepdims=True)
+        return (anew, bnew), (alpha, beta)
+
+    (a_end, b_start), (alphas, betas_rev) = jax.lax.scan(
+        step, (alpha_init, beta_init), xs)
+    betas_kp1 = jnp.flip(betas_rev, axis=0)                  # (W,B,NW,8)
+
+    # vectorized LLR over all positions
+    SZL0 = jnp.asarray(c["SZL0"])
+    SZL1 = jnp.asarray(c["SZL1"])
+    FB = jnp.asarray(c["FB"])
+    bbt = jnp.swapaxes(betas_kp1.reshape(W, B, NW, 2, 4), -1, -2)
+    bbp = jnp.repeat(bbt, 2, axis=-2)                        # (W,B,NW,8,2)
+    bsel0 = jnp.where(FB, bbp[..., 1], bbp[..., 0])
+    bsel1 = jnp.where(FB, bbp[..., 0], bbp[..., 1])
+    m0 = jnp.max(alphas + li[..., None] + lp[..., None] * SZL0 + bsel0,
+                 axis=-1)
+    m1 = jnp.max(alphas - li[..., None] + lp[..., None] * SZL1 + bsel1,
+                 axis=-1)                                    # (W, B, NW)
+    llr = jnp.moveaxis(m0 - m1, 0, 2).reshape(B, K)
+    return llr, a_end, b_start
+
+
+@functools.lru_cache(maxsize=64)
+def _make_decoder_pw(K: int, n_iter: int, W: int | None = None):
+    pi = tables.qpp_interleave_indices(K).astype(np.int32)
+    de = np.zeros(K, dtype=np.int32)
+    de[pi] = np.arange(K, dtype=np.int32)
+    if W is None:
+        W = _window_len(K)
     NW = K // W
 
     @jax.jit
@@ -218,11 +441,11 @@ def _make_decoder_pw(K: int, n_iter: int):
 
         def body(carry, _):
             apr1, a1, b1, a2, b2 = carry
-            llr1, a1n, b1n = _bcjr_pw(l_sys + apr1, l_p1, t1_sys, t1_par,
+            llr1, a1n, b1n = _bcjr_pw2(l_sys + apr1, l_p1, t1_sys, t1_par,
                                       a1, b1, W)
             ext1 = llr1 - l_sys - apr1
             apr2 = ext1[:, pi]
-            llr2, a2n, b2n = _bcjr_pw(l_sys_i + apr2, l_p2, t2_sys, t2_par,
+            llr2, a2n, b2n = _bcjr_pw2(l_sys_i + apr2, l_p2, t2_sys, t2_par,
                                       a2, b2, W)
             ext2 = llr2 - l_sys_i - apr2
             return (ext2[:, de], a1n, b1n, a2n, b2n), llr2

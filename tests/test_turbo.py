@@ -126,3 +126,42 @@ def test_turbo_soft_combining_two_rvs():
     assert all(e > 0 for e in single_errs)   # each rv alone is undecodable
     bits, _ = kturbo.decode_blocks(jnp.asarray(combined[None]), n_iter=8)
     np.testing.assert_array_equal(np.asarray(bits)[0], blk)
+
+
+def _encode_batch(rng, B, K, amp=3.0, noise=0.9):
+    bits = rng.integers(0, 2, size=(B, K), dtype=np.uint8)
+    cws = np.stack([turbo.turbo_encode(b) for b in bits])
+    llr = ((1.0 - 2.0 * cws).astype(np.float32) * amp
+           + noise * rng.standard_normal((B, 3, K + 4)).astype(np.float32))
+    return bits, llr
+
+
+def test_bcjr_pw2_matches_pw1():
+    """Butterfly/fused-scan BCJR (v2) is numerically the gather formulation."""
+    rng = np.random.default_rng(11)
+    K, B = 512, 3
+    _, llr = _encode_batch(rng, B, K)
+    x = jnp.asarray(llr)
+    li = x[:, 0, :K]
+    lp1 = x[:, 1, :K]
+    t1s = jnp.stack([x[:, 0, K], x[:, 2, K], x[:, 1, K + 1]], axis=1)
+    t1p = jnp.stack([x[:, 1, K], x[:, 0, K + 1], x[:, 2, K + 1]], axis=1)
+    for W in (16, 32, 64):
+        ab = jnp.zeros((B, K // W, 8), jnp.float32)
+        l1, a1, b1 = kturbo._bcjr_pw(li, lp1, t1s, t1p, ab, ab, W)
+        l2, a2, b2 = kturbo._bcjr_pw2(li, lp1, t1s, t1p, ab, ab, W)
+        assert float(jnp.max(jnp.abs(l1 - l2))) < 1e-4
+        assert float(jnp.max(jnp.abs(a1 - a2))) < 1e-4
+        assert float(jnp.max(jnp.abs(b1 - b2))) < 1e-4
+
+
+def test_pallas_decoder_matches_xla_windowed():
+    """Pallas BCJR driver (interpret mode on CPU) == XLA windowed decoder."""
+    rng = np.random.default_rng(12)
+    K, B = 512, 2
+    bits, llr = _encode_batch(rng, B, K)
+    x = jnp.asarray(llr)
+    b_ref, _ = kturbo._make_decoder_pw(K, 4)(x)
+    b_pal, _ = kturbo._make_decoder_pallas(K, 4, interpret=True)(x)
+    np.testing.assert_array_equal(np.asarray(b_ref), np.asarray(b_pal))
+    np.testing.assert_array_equal(np.asarray(b_ref), bits)
