@@ -178,10 +178,14 @@ class NativeDciBlindSearch:
         self._lib = rnti_manager._lib
         self._fmt0 = self.formats.index("0")
         self._fmt1a = self.formats.index("1A")
+        self.size_order = tuple(sorted({self.sizes[f] + 16
+                                        for f in self.formats}))
+        self._size_idx = {f: self.size_order.index(self.sizes[f] + 16)
+                          for f in self.formats}
 
     def resolve_subframe(self, out: Dict[str, np.ndarray], b: int,
                          locs, nof_cce: int, sf_idx: int, sfn: int = 0):
-        from ltesniffer_tpu.sniffer.dci_search import AcceptedDci
+        from ltesniffer_tpu.sniffer.dci_search import AcceptedDci, _LazyPayload
         self.stats.nof_subframes += 1
         snr_ok = float(out["snr_db"][b]) > self.SNR_GATE_DB
         n_loc = len(locs)
@@ -189,17 +193,30 @@ class NativeDciBlindSearch:
         cand_rnti = np.zeros((n_loc, nf), np.int32)
         cand_resolved = np.zeros((n_loc, nf), np.int8)
         payload_of = {}
-        for fi, f in enumerate(self.formats):
-            D = self.sizes[f] + 16
-            bits = np.asarray(out[f"bits_{D}"][b])
-            payload_of[f] = bits[:, :D - 16]
-            cand_rnti[:, fi] = np.asarray(out[f"rnti_{D}"][b])
-            if f in ("0", "1A"):
-                bit0 = bits[:, 0]
-                cand_resolved[:, fi] = np.where(bit0 == 0, self._fmt0,
-                                                self._fmt1a)
-            else:
-                cand_resolved[:, fi] = fi
+        if "cand_meta" in out:
+            meta = np.asarray(out["cand_meta"][b])         # (n_loc, S)
+            for fi, f in enumerate(self.formats):
+                si = self._size_idx[f]
+                m = meta[:, si]
+                cand_rnti[:, fi] = m & 0xFFFF
+                payload_of[f] = _LazyPayload(b, si, self.sizes[f])
+                if f in ("0", "1A"):
+                    cand_resolved[:, fi] = np.where((m >> 16) & 1 == 0,
+                                                    self._fmt0, self._fmt1a)
+                else:
+                    cand_resolved[:, fi] = fi
+        else:
+            for fi, f in enumerate(self.formats):
+                D = self.sizes[f] + 16
+                bits = np.asarray(out[f"bits_{D}"][b])
+                payload_of[f] = bits[:, :D - 16]
+                cand_rnti[:, fi] = np.asarray(out[f"rnti_{D}"][b])
+                if f in ("0", "1A"):
+                    bit0 = bits[:, 0]
+                    cand_resolved[:, fi] = np.where(bit0 == 0, self._fmt0,
+                                                    self._fmt1a)
+                else:
+                    cand_resolved[:, fi] = fi
         if snr_ok:
             self.stats.nof_locations += n_loc
         loc_l = np.asarray([l for l, _ in locs], np.int32)

@@ -20,6 +20,7 @@ import dataclasses
 import time
 from typing import Dict, Iterable, List, Optional
 
+import jax.numpy as jnp
 import numpy as np
 
 from ltesniffer_tpu.phy import dci as dci_mod, tables
@@ -27,7 +28,7 @@ from ltesniffer_tpu.phy.params import (CellConfig, SIRNTI, PRNTI,
                                        RARNTI_START, RARNTI_END)
 from ltesniffer_tpu.io import iq as iq_mod, pcap as pcap_mod
 from ltesniffer_tpu.mac_rrc import mac as mac_mod
-from . import (dci_search, frontend, pbch_rx, pdcch_rx, pdsch_rx,
+from . import (dci_search, frontend, pbch_rx, pdcch_rx, pdsch_rx, prof,
                rnti_manager, security_api, sync, trackers)
 
 
@@ -91,6 +92,8 @@ class LTESnifferCore:
         self.on_subframe = None   # hook(sf_ctx) for extensions
         self._searchers = {}
         self._mib_synced = False
+        self._mib_attempts = 0
+        self._sf_dispatched = 0
         self.est_cfo = 0.0        # residual CFO (subcarriers), EMA-tracked
 
     # ------------------------------------------------------------------
@@ -109,51 +112,98 @@ class LTESnifferCore:
 
     def run_samples(self, samples: np.ndarray, sf_idx0: int = 0,
                     max_subframes: Optional[int] = None):
+        """Pipelined batch driver: batch N+1's device work is dispatched
+        before batch N's host-side resolve runs, so the ~25 ms tunnel D2H
+        latency overlaps device compute (the TPU analog of the reference's
+        sync-thread / worker-pool overlap, `Phy.cc:29-55`)."""
         n = self.cell.sf_len
         total = len(samples) // n
         if max_subframes is not None:
             total = min(total, max_subframes)
         frames = samples[:total * n].reshape(total, 1, n)
         sf_idx = (sf_idx0 + np.arange(total)) % 10
+        from collections import deque
+        q: deque = deque()
         for a in range(0, total, self.cfg.batch_size):
             b = min(a + self.cfg.batch_size, total)
             blk = frames[a:b]
             if abs(self.est_cfo) > 2e-3:
                 # worker-estimated CFO fed back into the stream, mirroring
-                # the reference's est_cfo channel (`SubframeWorker.cc:203`)
+                # the reference's est_cfo channel (`SubframeWorker.cc:203`);
+                # pipelining adds ~2 batches of feedback latency
                 rot = np.exp(-2j * np.pi * self.est_cfo
                              * np.arange(n) / self.cell.n_fft)
                 blk = (blk * rot[None, None, :]).astype(np.complex64)
-            self.process_batch(blk, sf_idx[a:b].astype(np.int32))
+            q.append(self._phase1(blk, sf_idx[a:b].astype(np.int32)))
+            if len(q) >= 2:
+                self._phase2(q[-2])
+            if len(q) >= 3:
+                self._phase3(q.popleft())
+        while q:
+            ctx = q.popleft()
+            if ctx["stage"] < 2:
+                self._phase2(ctx)
+            self._phase3(ctx)
         return self.results
 
     # ------------------------------------------------------------------
     def process_batch(self, frames: np.ndarray, sf_idx: np.ndarray):
-        """frames: (B, RX, sf_len) complex64; sf_idx: (B,) int32."""
-        import jax.numpy as jnp
-        B = frames.shape[0]
-        fe = self.frontend(jnp.asarray(frames.astype(np.complex64)),
-                           jnp.asarray(sf_idx))
-        cfi = np.asarray(fe["cfi"])
+        """Synchronous single-batch path (tests / UL dual-carrier core):
+        identical semantics to the pipelined driver, zero lookahead."""
+        ctx = self._phase1(frames, np.asarray(sf_idx))
+        self._phase2(ctx)
+        self._phase3(ctx)
+
+    # ------------------------------------------------------------------
+    def _phase1(self, frames: np.ndarray, sf_idx: np.ndarray) -> dict:
+        """Dispatch frontend (OFDM+chest+PCFICH); start the scalar D2H."""
+        with prof.span("p1_frontend"):
+            # NumPy complex straight to the frontend: it owns the float-pair
+            # conversion (complex64 D2H/H2D is unimplemented on axon)
+            fe = self.frontend(
+                np.ascontiguousarray(frames, dtype=np.complex64),
+                np.asarray(sf_idx))
+            try:
+                fe["scalars"].copy_to_host_async()
+            except Exception:
+                pass
+        base = self._sf_dispatched
+        self._sf_dispatched += frames.shape[0]
+        return dict(fe=fe, sf_idx=np.asarray(sf_idx), B=frames.shape[0],
+                    base=base, stage=1)
+
+    def _phase2(self, ctx: dict):
+        """Read fused scalars; group by CFI; dispatch the blind search and
+        start the candidate-meta D2H."""
+        fe = ctx["fe"]
+        B = ctx["B"]
+        sf_idx = ctx["sf_idx"]
+        with prof.span("p2_scalars"):
+            scal = np.asarray(fe["scalars"])
+        cfi = scal[:, 0].astype(np.int32)
+        snrs = scal[:, 1]
+        cfos = scal[:, 2]
+        ctx["cfi"] = cfi
+        ctx["snr"] = snrs
         # track residual CFO (EMA over high-SNR subframes)
-        snrs = np.asarray(fe["snr_db"])
-        cfos = np.asarray(fe["cfo"])
         good = snrs > 6.0
         if good.any():
             est = float(np.mean(cfos[good]))
             self.est_cfo = 0.9 * self.est_cfo + 0.1 * (self.est_cfo + est)
         # SFN acquisition from the first decodable MIB (subframe 0)
-        if not self._mib_synced:
+        if not self._mib_synced and self._mib_attempts < 8:
             for i in range(B):
                 if sf_idx[i] == 0:
-                    mib = pbch_rx.decode_mib(
-                        np.asarray(fe["grids"][i]), np.asarray(fe["h"][i]),
-                        np.asarray(fe["noise_var"][i]), self.cell)
+                    self._mib_attempts += 1
+                    with prof.span("p2_mib"):
+                        mib = pbch_rx.decode_mib(
+                            np.asarray(fe["grids"][i]),
+                            np.asarray(fe["h"][i]),
+                            np.asarray(fe["noise_var"][i]), self.cell)
                     if mib.ok:
-                        self.sfn = (mib.sfn - (self.sf_count + i) // 10) % 1024
+                        self.sfn = (mib.sfn - (ctx["base"] + i) // 10) % 1024
                         self._mib_synced = True
                     break
-        # group by detected CFI, run the per-CFI search
         outs: Dict[int, dict] = {}
         pos_in_group = np.zeros(B, dtype=np.int64)
         for c in (1, 2, 3):
@@ -161,37 +211,82 @@ class LTESnifferCore:
             if len(sel) == 0:
                 continue
             run, st = self._searcher(int(c))
-            out = run(fe["grids"][jnp.asarray(sel)],
-                      fe["h"][jnp.asarray(sel)],
-                      fe["noise_var"][jnp.asarray(sel)],
-                      fe["snr_db"][jnp.asarray(sel)],
-                      jnp.asarray(sf_idx[sel]))
-            outs[c] = {k: np.asarray(v) for k, v in out.items()
-                       if k not in ("grids", "h")}
-            outs[c]["grids"] = out["grids"]
-            outs[c]["h"] = out["h"]
-            outs[c]["_st"] = st
+            with prof.span("p2_search"):
+                out = run(fe["grids"][jnp.asarray(sel)],
+                          fe["h"][jnp.asarray(sel)],
+                          fe["noise_var"][jnp.asarray(sel)],
+                          fe["snr_db"][jnp.asarray(sel)],
+                          jnp.asarray(sf_idx[sel]))
+                try:
+                    out["cand_meta"].copy_to_host_async()
+                    out["cce_power"].copy_to_host_async()
+                except Exception:
+                    pass
+            out["_st"] = st
+            out["_sel"] = sel
+            outs[c] = out
             pos_in_group[sel] = np.arange(len(sel))
+        ctx["outs"] = outs
+        ctx["pos"] = pos_in_group
+        ctx["stage"] = 2
 
-        # sequential resolve in time order; batchable PDSCH jobs collected
-        pending = []   # (cfi, GrantJob) for the grouped decode
+    def _phase3(self, ctx: dict):
+        """Read candidate meta; resolve in time order; fetch accepted
+        payloads in one transfer; run handlers and the grouped PDSCH
+        decode."""
+        outs = ctx["outs"]
+        B = ctx["B"]
+        sf_idx = ctx["sf_idx"]
+        base = ctx["base"]
+        for c, out in outs.items():
+            with prof.span("p3_meta"):
+                out["_host"] = {
+                    "cand_meta": np.asarray(out["cand_meta"]),
+                    "cce_power": np.asarray(out["cce_power"]),
+                    "snr_db": ctx["snr"][out["_sel"]],
+                }
+        # ---- pass A: sequential resolve (RNTI-manager state in time order)
+        resolved = []
         for i in range(B):
-            c = int(cfi[i])
+            c = int(ctx["cfi"][i])
             if c not in outs:
                 continue
             out = outs[c]
             st = out["_st"]
-            gi = int(pos_in_group[i])
+            gi = int(ctx["pos"][i])
             sf = int(sf_idx[i])
-            sfn_i = (self.sfn + (self.sf_count + i) // 10) % 1024
-            accepted = self.search.resolve_subframe(
-                out, gi, st["locs"], st["nof_cce"], sf, sfn=sfn_i)
+            sfn_i = (self.sfn + (base + i) // 10) % 1024
+            with prof.span("resolve"):
+                accepted = self.search.resolve_subframe(
+                    out["_host"], gi, st["locs"], st["nof_cce"], sf,
+                    sfn=sfn_i)
+            # RAR acceptance gates later subframes' RNTI validation:
+            # handle it synchronously (rare; pays one extra fetch)
+            if self.cfg.decode_pdsch and any(
+                    RARNTI_START <= a.rnti <= RARNTI_END and a.fmt != "0"
+                    for a in accepted):
+                self._materialize_payloads(outs, [(c, a) for a in accepted])
+                for a in accepted:
+                    if RARNTI_START <= a.rnti <= RARNTI_END and a.fmt != "0":
+                        self._handle_dl_dci(out, gi, c, a, sfn_i, sf)
+                        a._done = True
+            resolved.append((i, c, gi, sf, sfn_i, accepted))
+            self.processed += 1
+        # ---- one payload fetch for everything accepted in the batch
+        refs = [(c, a) for (_, c, _, _, _, acc) in resolved for a in acc
+                if isinstance(a.payload, dci_search.PayloadRef)]
+        self._materialize_payloads(outs, refs)
+        # ---- pass B: handlers in time order + batched PDSCH jobs
+        pending = []
+        for (i, c, gi, sf, sfn_i, accepted) in resolved:
+            out = outs[c]
             if self.cfg.decode_pdsch:
                 for a in accepted:
+                    if getattr(a, "_done", False):
+                        continue
                     if a.fmt == "0":
                         self._handle_ul_dci(a, sfn_i, sf)
                     elif RARNTI_START <= a.rnti <= RARNTI_END:
-                        # RAR side effects gate later subframes: immediate
                         self._handle_dl_dci(out, gi, c, a, sfn_i, sf)
                     else:
                         job = self._prepare_dl_job(out, gi, c, a, sfn_i, sf)
@@ -203,12 +298,34 @@ class LTESnifferCore:
             if self.on_subframe:
                 self.on_subframe(dict(out=out, gi=gi, cfi=c, sf=sf,
                                       sfn=sfn_i, accepted=accepted))
-            self.processed += 1
-        self._decode_pending(outs, pending)
+        with prof.span("pdsch"):
+            self._decode_pending(outs, pending)
         self.sf_count += B
         now_tti = trackers.tti_of(self.sfn + self.sf_count // 10,
                                   int(sf_idx[-1]))
         self.mcs.update_database(now_tti)
+        ctx["stage"] = 3
+
+    def _materialize_payloads(self, outs: Dict[int, dict], refs):
+        """Replace PayloadRefs with real bit arrays: one device gather +
+        one D2H per cfi group present in `refs`."""
+        by_cfi: Dict[int, list] = {}
+        for c, a in refs:
+            if isinstance(a.payload, dci_search.PayloadRef):
+                by_cfi.setdefault(c, []).append(a)
+        fetch = pdcch_rx.make_payload_fetcher()
+        for c, lst in by_cfi.items():
+            out = outs[c]
+            bv = np.asarray([a.payload.b for a in lst], np.int32)
+            lv = np.asarray([a.payload.loc_idx for a in lst], np.int32)
+            sv = np.asarray([a.payload.size_idx for a in lst], np.int32)
+            with prof.span("p3_payload_fetch"):
+                words = np.asarray(fetch(out["cand_pay"], jnp.asarray(bv),
+                                         jnp.asarray(lv), jnp.asarray(sv)))
+            words = words.view(np.uint32) if words.dtype != np.uint32 else words
+            for m, a in enumerate(lst):
+                a.payload = pdcch_rx.unpack_payload(words[m],
+                                                    a.payload.nbits)
 
     # ------------------------------------------------------------------
     def _handle_ul_dci(self, a: dci_search.AcceptedDci, sfn: int, sf: int):
@@ -590,9 +707,10 @@ class LTESnifferCoreUL(LTESnifferCore):
         return self.ul_results
 
     def _process_dual(self, dl_frames, ul_frames, sf_idx):
-        import jax.numpy as jnp
+        # NumPy in, NumPy out: the frontend owns the float-pair conversion
+        # (complex64 device<->host is unimplemented on the axon TPU backend)
         ul_grids = np.asarray(self.ul_frontend(
-            jnp.asarray(ul_frames.astype(np.complex64))))
+            np.ascontiguousarray(ul_frames, dtype=np.complex64)))
         # process DL batch with a hook that decodes UL at each subframe
         idx_holder = {"i": 0}
 

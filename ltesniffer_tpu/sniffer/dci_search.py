@@ -29,15 +29,39 @@ MAX_RECURSION_DEPTH = 99
 
 
 @dataclasses.dataclass
+class PayloadRef:
+    """Deferred payload: candidate payloads live on-device (cand_pay) until
+    the accepted set is known; the core then fetches them in ONE transfer
+    (tunnel D2H costs ~25 ms flat, so per-candidate readback is ruinous)."""
+    b: int                     # batch index within the cfi group
+    size_idx: int              # column into cand_pay's size axis
+    loc_idx: int
+    nbits: int                 # payload length (without CRC)
+
+    def copy(self):
+        return self
+
+
+@dataclasses.dataclass
 class AcceptedDci:
     rnti: int
     fmt: str                   # resolved format name
     l: int                     # aggregation exponent (L = 2^l CCEs)
     ncce: int
-    payload: np.ndarray        # payload bits (without CRC)
+    payload: np.ndarray        # payload bits (without CRC) or PayloadRef
     histval: int               # histogram frequency at acceptance
     sf_idx: int = 0
     sfn: int = 0
+
+
+class _LazyPayload:
+    """payload_of[f]-compatible view yielding PayloadRefs."""
+
+    def __init__(self, b: int, size_idx: int, nbits: int):
+        self.b, self.size_idx, self.nbits = b, size_idx, nbits
+
+    def __getitem__(self, li: int) -> PayloadRef:
+        return PayloadRef(self.b, self.size_idx, int(li), self.nbits)
 
 
 class _Loc:
@@ -70,6 +94,10 @@ class DciBlindSearch:
         self.enable_shortcut = enable_shortcut
         self.stats = SearchStats()
         self.sizes = dci_mod.format_sizes(cell)
+        self.size_order = tuple(sorted({self.sizes[f] + 16
+                                        for f in self.formats}))
+        self._size_idx = {f: self.size_order.index(self.sizes[f] + 16)
+                          for f in self.formats}
 
     # -----------------------------------------------------------------
     def resolve_subframe(self, out: Dict[str, np.ndarray], b: int,
@@ -86,15 +114,32 @@ class DciBlindSearch:
         cand_fmt: List[List[Optional[str]]] = [[None] * len(self.formats)
                                                for _ in locs]
         payload_of = {}
-        for fi, f in enumerate(self.formats):
-            D = self.sizes[f] + 16
-            rntis = np.asarray(out[f"rnti_{D}"][b])
-            bits = np.asarray(out[f"bits_{D}"][b])
-            payload_of[f] = bits[:, :D - 16]
-            cand_rnti[:, fi] = rntis
-            for li in range(len(locs)):
-                resolved = dci_mod.resolve_format(bits[li], f)
-                cand_fmt[li][fi] = resolved
+        if "cand_meta" in out:
+            # compact path: rnti | bit0<<16 per (loc, size); payloads deferred
+            meta = np.asarray(out["cand_meta"][b])         # (n_loc, S)
+            for fi, f in enumerate(self.formats):
+                si = self._size_idx[f]
+                m = meta[:, si]
+                rnti = m & 0xFFFF
+                bit0 = (m >> 16) & 1
+                cand_rnti[:, fi] = rnti
+                payload_of[f] = _LazyPayload(b, si, self.sizes[f])
+                if f in ("0", "1A"):
+                    for li in range(len(locs)):
+                        cand_fmt[li][fi] = "0" if bit0[li] == 0 else "1A"
+                else:
+                    for li in range(len(locs)):
+                        cand_fmt[li][fi] = f
+        else:
+            for fi, f in enumerate(self.formats):
+                D = self.sizes[f] + 16
+                rntis = np.asarray(out[f"rnti_{D}"][b])
+                bits = np.asarray(out[f"bits_{D}"][b])
+                payload_of[f] = bits[:, :D - 16]
+                cand_rnti[:, fi] = rntis
+                for li in range(len(locs)):
+                    resolved = dci_mod.resolve_format(bits[li], f)
+                    cand_fmt[li][fi] = resolved
 
         # location objects + cce map
         loc_objs = [_Loc(l, ncce) for (l, ncce) in locs]

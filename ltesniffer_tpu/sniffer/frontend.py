@@ -51,9 +51,14 @@ def make_frontend(cell: CellConfig):
         llr = demapper.qpsk_llr(x) * jnp.asarray(scr)[sf_idx]  # (B, 32)
         corr = jnp.einsum("bj,cj->bc", llr, cw)                # (B, 3)
         cfi = 1 + jnp.argmax(corr, axis=-1).astype(jnp.int32)
+        # fused per-subframe scalars: ONE device->host transfer serves the
+        # whole host-side control flow (tunnel D2H costs ~25 ms flat)
+        scalars = jnp.stack([cfi.astype(jnp.float32), ch["snr_db"],
+                             ch["cfo"], ch["rsrp"]], axis=-1)   # (B, 4)
         return {"grids": grids, "h": h, "noise_var": ch["noise_var"],
                 "snr_db": ch["snr_db"], "rsrp": ch["rsrp"],
-                "cfo": ch["cfo"], "cfi": cfi, "cfi_corr": corr}
+                "cfo": ch["cfo"], "cfi": cfi, "cfi_corr": corr,
+                "scalars": scalars}
 
     def run(samples, sf_idx):
         x = np.asarray(samples)

@@ -63,8 +63,26 @@ def _static_maps(cell: CellConfig, cfi: int):
         "locs": locs,
         "sizes": sizes,
         "size_maps": size_maps,
+        "size_order": tuple(sorted(by_size.keys())),
         "n_sc": cell.n_sc,
     }
+
+
+@functools.lru_cache(maxsize=16)
+def make_payload_fetcher():
+    """Jitted gather: (cand_pay (B, n_loc, S, 2) u32, b (M,), loc (M,),
+    size (M,)) -> (M, 2) u32 packed payload words."""
+    @jax.jit
+    def fetch(cand_pay, b, loc, size):
+        return cand_pay[b, loc, size]
+    return fetch
+
+
+def unpack_payload(words: np.ndarray, d_payload: int) -> np.ndarray:
+    """(2,) u32 words -> (d_payload,) uint8 bit array (LSB-first packing)."""
+    w = np.asarray(words, dtype=np.uint32)
+    bits = ((w[:, None] >> np.arange(32, dtype=np.uint32)) & 1).astype(np.uint8)
+    return bits.reshape(-1)[:d_payload]
 
 
 @functools.lru_cache(maxsize=16)
@@ -139,13 +157,28 @@ def _build_pipeline(cell: CellConfig, cfi: int):
             flats.append(d_llrs.reshape(B * n_loc, 3, D))
         all_bits = viterbi.viterbi_decode_tb_multi(flats)
         w16 = jnp.asarray([1 << (15 - i) for i in range(16)], jnp.int32)
+        metas = []
+        pays = []
         for D, bits in zip(size_consts.keys(), all_bits):
             bits = bits.reshape(B, n_loc, D)
             payload = bits[..., :D - 16]
             calc = crc.batched_crc_to_int(payload, crc.CRC16)
             rx16 = jnp.sum(bits[..., D - 16:].astype(jnp.int32) * w16, axis=-1)
+            rnti = (calc ^ rx16).astype(jnp.int32)
             out[f"bits_{D}"] = bits
-            out[f"rnti_{D}"] = (calc ^ rx16).astype(jnp.int32)
+            out[f"rnti_{D}"] = rnti
+            # candidate meta word: rnti (16 bit) | payload bit0 << 16 — all
+            # the host resolver needs pre-acceptance (0/1A flag per
+            # `falcon_pdcch.c:146-152`); payloads are fetched post-resolve
+            metas.append(rnti | (payload[..., 0].astype(jnp.int32) << 16))
+            # packed payload words (device-resident until fetched)
+            pad = jnp.pad(payload, ((0, 0), (0, 0), (0, 64 - (D - 16))))
+            w32 = jnp.asarray((1 << np.arange(32, dtype=np.int64))
+                              .astype(np.uint32))
+            pays.append(jnp.sum(pad.reshape(B, n_loc, 2, 32).astype(jnp.uint32)
+                                * w32, axis=-1, dtype=jnp.uint32))
+        out["cand_meta"] = jnp.stack(metas, axis=-1)       # (B, n_loc, S)
+        out["cand_pay"] = jnp.stack(pays, axis=-2)         # (B, n_loc, S, 2)
         return out
 
     @jax.jit

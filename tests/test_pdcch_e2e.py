@@ -38,6 +38,13 @@ def _search(iq_list, sf_list, threshold=5):
     for b in range(len(iq_list)):
         acc = search.resolve_subframe(out, b, st["locs"], st["nof_cce"],
                                       sf_idx=int(sf_list[b]))
+        # materialize deferred payloads (the core does this in one batched
+        # device fetch; here the host copy of cand_pay suffices)
+        for a in acc:
+            if isinstance(a.payload, dci_search.PayloadRef):
+                w = out["cand_pay"][a.payload.b, a.payload.loc_idx,
+                                    a.payload.size_idx]
+                a.payload = pdcch_rx.unpack_payload(w, a.payload.nbits)
         all_accepted.append(acc)
     return all_accepted, search, st
 

@@ -150,6 +150,9 @@ def test_pdsch_via_blind_dci():
     accepted = search.resolve_subframe(onp, 0, st["locs"], st["nof_cce"], 0)
     assert len(accepted) == 1
     a = accepted[0]
+    if isinstance(a.payload, dci_search.PayloadRef):
+        w = onp["cand_pay"][a.payload.b, a.payload.loc_idx, a.payload.size_idx]
+        a.payload = pdcch_rx.unpack_payload(w, a.payload.nbits)
     dci_back = dci_mod.unpack(a.payload, a.fmt, CELL, rnti=a.rnti)
     grant = dci_mod.dl_grant_from_dci(dci_back, CELL)
     qm, i_tbs = tables.dl_mcs_to_qm_itbs(grant.mcs)
