@@ -22,6 +22,17 @@ def to_ri(x: np.ndarray) -> np.ndarray:
     return x.view(np.float32).reshape(*x.shape, 2)
 
 
+def to_i16(x: np.ndarray):
+    """numpy complex64 -> ((..., 2) int16, scale) quantized IQ (host side).
+
+    Halves host->device bytes vs float pairs; the ~90 dB quantization SNR
+    is far beyond any radio front-end (SDR ADCs are 12-14 bit)."""
+    ri = to_ri(x)
+    peak = float(np.max(np.abs(ri))) or 1.0
+    scale = peak / 32000.0
+    return np.round(ri / scale).astype(np.int16), np.float32(scale)
+
+
 def from_ri(x: np.ndarray) -> np.ndarray:
     """(..., 2) float32 -> numpy complex64 (host side)."""
     x = np.ascontiguousarray(x, dtype=np.float32)

@@ -28,18 +28,25 @@ CRC8 = (0x9B, 8)
 
 
 def crc_bits(bits: np.ndarray, poly_n) -> np.ndarray:
-    """CRC of a bit array (MSB first).  Returns ``n`` CRC bits (MSB first)."""
+    """CRC of a bit array (MSB first).  Returns ``n`` CRC bits (MSB first).
+
+    Vectorized via the GF(2) linearity of LTE CRCs (zero init, no final
+    XOR): one int matvec against the remainder table instead of a per-bit
+    Python loop (matters for 75k-bit transport blocks)."""
     poly, n = poly_n
-    rem = 0
-    mask = (1 << n) - 1
-    top = 1 << (n - 1)
-    for b in np.asarray(bits, dtype=np.uint8):
-        rem ^= int(b) << (n - 1)
-        if rem & top:
-            rem = ((rem << 1) ^ poly) & mask
-        else:
-            rem = (rem << 1) & mask
-    return np.array([(rem >> (n - 1 - i)) & 1 for i in range(n)], dtype=np.uint8)
+    bits = np.asarray(bits, dtype=np.uint8).reshape(-1)
+    L = len(bits)
+    if L == 0:
+        return np.zeros(n, dtype=np.uint8)
+    cap = 1 << max(6, (L - 1).bit_length())   # pow2 bucket bounds table builds
+    table = _remainder_table_i64(poly_n, cap)
+    acc = bits[::-1].astype(np.int64) @ table[:L]
+    return (acc % 2).astype(np.uint8)
+
+
+@functools.lru_cache(maxsize=64)
+def _remainder_table_i64(poly_n, max_len: int) -> np.ndarray:
+    return crc_remainder_table(poly_n, max_len).astype(np.int64)
 
 
 def attach_crc(bits: np.ndarray, poly_n, mask: int = 0) -> np.ndarray:

@@ -44,6 +44,7 @@ class SnifferConfig:
     api_mode: int = -1
     max_harq_retx_buffers: int = 4096
     use_native: bool = True   # C++ resolver/RNTI manager when available
+    ingest_int16: bool = True  # quantized-IQ H2D (halves transfer bytes)
 
 
 @dataclasses.dataclass
@@ -122,28 +123,40 @@ class LTESnifferCore:
             total = min(total, max_subframes)
         frames = samples[:total * n].reshape(total, 1, n)
         sf_idx = (sf_idx0 + np.arange(total)) % 10
+        scale = None
+        if self.cfg.ingest_int16:
+            from ltesniffer_tpu.kernels import cplx
+            frames, scale = cplx.to_i16(frames)
         from collections import deque
         q: deque = deque()
         for a in range(0, total, self.cfg.batch_size):
             b = min(a + self.cfg.batch_size, total)
             blk = frames[a:b]
-            if abs(self.est_cfo) > 2e-3:
+            if scale is None and abs(self.est_cfo) > 2e-3:
                 # worker-estimated CFO fed back into the stream, mirroring
                 # the reference's est_cfo channel (`SubframeWorker.cc:203`);
-                # pipelining adds ~2 batches of feedback latency
+                # pipelining adds ~2 batches of feedback latency (int16
+                # ingest applies the same rotation on device instead)
                 rot = np.exp(-2j * np.pi * self.est_cfo
                              * np.arange(n) / self.cell.n_fft)
                 blk = (blk * rot[None, None, :]).astype(np.complex64)
-            q.append(self._phase1(blk, sf_idx[a:b].astype(np.int32)))
+            q.append(self._phase1(blk, sf_idx[a:b].astype(np.int32),
+                                  scale=scale))
             if len(q) >= 2:
                 self._phase2(q[-2])
+            # finish(k) must run before build(k+1): trackers (HARQ/MCS) that
+            # batch k's results update gate batch k+1's decode decisions
+            if len(q) >= 4:
+                self._phase4(q.popleft())
             if len(q) >= 3:
-                self._phase3(q.popleft())
+                self._phase3(q[-3])
         while q:
             ctx = q.popleft()
             if ctx["stage"] < 2:
                 self._phase2(ctx)
-            self._phase3(ctx)
+            if ctx["stage"] < 3:
+                self._phase3(ctx)
+            self._phase4(ctx)
         return self.results
 
     # ------------------------------------------------------------------
@@ -153,16 +166,25 @@ class LTESnifferCore:
         ctx = self._phase1(frames, np.asarray(sf_idx))
         self._phase2(ctx)
         self._phase3(ctx)
+        self._phase4(ctx)
 
     # ------------------------------------------------------------------
-    def _phase1(self, frames: np.ndarray, sf_idx: np.ndarray) -> dict:
+    def _phase1(self, frames: np.ndarray, sf_idx: np.ndarray,
+                scale=None) -> dict:
         """Dispatch frontend (OFDM+chest+PCFICH); start the scalar D2H."""
         with prof.span("p1_frontend"):
-            # NumPy complex straight to the frontend: it owns the float-pair
-            # conversion (complex64 D2H/H2D is unimplemented on axon)
-            fe = self.frontend(
-                np.ascontiguousarray(frames, dtype=np.complex64),
-                np.asarray(sf_idx))
+            if scale is not None:
+                # int16 quantized IQ + on-device CFO de-rotation
+                fe = self.frontend.jitted_i16(
+                    frames, np.asarray(sf_idx), scale,
+                    np.float32(self.est_cfo))
+            else:
+                # NumPy complex straight to the frontend: it owns the
+                # float-pair conversion (complex64 D2H/H2D is unimplemented
+                # on axon)
+                fe = self.frontend(
+                    np.ascontiguousarray(frames, dtype=np.complex64),
+                    np.asarray(sf_idx))
             try:
                 fe["scalars"].copy_to_host_async()
             except Exception:
@@ -196,10 +218,10 @@ class LTESnifferCore:
                 if sf_idx[i] == 0:
                     self._mib_attempts += 1
                     with prof.span("p2_mib"):
+                        # device-array slices in, (8, 40) bits out: one D2H
                         mib = pbch_rx.decode_mib(
-                            np.asarray(fe["grids"][i]),
-                            np.asarray(fe["h"][i]),
-                            np.asarray(fe["noise_var"][i]), self.cell)
+                            fe["grids"][i], fe["h"][i],
+                            fe["noise_var"][i], self.cell)
                     if mib.ok:
                         self.sfn = (mib.sfn - (ctx["base"] + i) // 10) % 1024
                         self._mib_synced = True
@@ -298,13 +320,21 @@ class LTESnifferCore:
             if self.on_subframe:
                 self.on_subframe(dict(out=out, gi=gi, cfi=c, sf=sf,
                                       sfn=sfn_i, accepted=accepted))
-        with prof.span("pdsch"):
-            self._decode_pending(outs, pending)
+        # dispatch the grouped PDSCH decode on device; the fused-result D2H
+        # overlaps the next batch's compute, finished in _phase4
+        with prof.span("pdsch_dispatch"):
+            ctx["pdsch"] = self._dispatch_pending(outs, pending)
         self.sf_count += B
         now_tti = trackers.tti_of(self.sfn + self.sf_count // 10,
                                   int(sf_idx[-1]))
         self.mcs.update_database(now_tti)
         ctx["stage"] = 3
+
+    def _phase4(self, ctx: dict):
+        """Read the fused PDSCH results; retries, handlers, pcap, stats."""
+        with prof.span("pdsch_finish"):
+            self._finish_pending(ctx.get("pdsch") or [])
+        ctx["stage"] = 4
 
     def _materialize_payloads(self, outs: Dict[int, dict], refs):
         """Replace PayloadRefs with real bit arrays: one device gather +
@@ -379,34 +409,51 @@ class LTESnifferCore:
             tag=dict(a=a, grant=grant, sfn=sfn, sf=sf, is_retx=is_retx,
                      table=table, known=known, is_special=is_special))
 
-    def _decode_pending(self, outs, pending):
-        """Grouped decode of collected jobs + per-job postprocessing."""
+    def _dispatch_pending(self, outs, pending):
+        """Launch the grouped device decode for all collected jobs; returns
+        [(out, jobs, PendingPdschBatch)] handles for `_finish_pending`."""
         by_cfi = {}
         for c, job in pending:
             by_cfi.setdefault(c, []).append(job)
+        handles = []
         for c, jobs in by_cfi.items():
             out = outs[c]
-            res = pdsch_rx.decode_grants_batch(
+            pb = pdsch_rx.dispatch_grants_batch(
                 out["grids"], out["h"], out["noise_var"], self.cell, jobs,
                 soft_buffers=self.soft_buffers)
-            for job, r in zip(jobs, res):
+            handles.append((out, jobs, pb))
+        return handles
+
+    def _finish_pending(self, handles):
+        """Finish device decodes (one D2H per cfi group), run the batched
+        unknown-table 256QAM retry, and postprocess every job."""
+        for out, jobs, pb in handles:
+            res = pdsch_rx.finish_grants_batch(pb,
+                                               soft_buffers=self.soft_buffers)
+            # unknown-table misses: one batched retry with the 256QAM table
+            # (`DL_Sniffer_PDSCH.cc:1090-1243` dual-table trial)
+            retry_jobs, retry_idx = [], []
+            for idx, (job, r) in enumerate(zip(jobs, res)):
                 t = job.tag
-                # unknown-table miss: retry with the 256QAM table once
                 if (not r.crc_ok and not t["is_special"]
                         and t["known"] == trackers.McsTable.UNKNOWN):
                     qm2, i2 = tables.dl_mcs_to_qm_itbs(t["grant"].mcs, True)
                     tbs2 = (tables.tbs_lookup(i2, t["grant"].n_prb_alloc)
                             if i2 >= 0 else 0)
                     if tbs2 > 0:
-                        r2 = pdsch_rx.decode_grant(
-                            out["grids"], out["h"], out["noise_var"], job.b,
-                            self.cell, job.sf_idx, job.cfi, rnti=job.rnti,
-                            prb_mask=job.prb_mask, qm=qm2, tbs=tbs2,
-                            rv=job.rv, prb_mask_slot1=job.prb_mask_slot1)
-                        if r2.crc_ok:
-                            r = r2
-                            t["table"] = trackers.McsTable.QAM256
-                self._finish_dl(job, r, t)
+                        retry_jobs.append(dataclasses.replace(
+                            job, qm=qm2, tbs=tbs2, harq_key=None))
+                        retry_idx.append(idx)
+            if retry_jobs:
+                res2 = pdsch_rx.decode_grants_batch(
+                    out["grids"], out["h"], out["noise_var"], self.cell,
+                    retry_jobs)
+                for idx, r2 in zip(retry_idx, res2):
+                    if r2.crc_ok:
+                        res[idx] = r2
+                        jobs[idx].tag["table"] = trackers.McsTable.QAM256
+            for job, r in zip(jobs, res):
+                self._finish_dl(job, r, job.tag)
 
     def _finish_dl(self, job, res, t):
         a = t["a"]

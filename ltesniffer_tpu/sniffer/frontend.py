@@ -60,6 +60,20 @@ def make_frontend(cell: CellConfig):
                 "cfo": ch["cfo"], "cfi": cfi, "cfi_corr": corr,
                 "scalars": scalars}
 
+    @jax.jit
+    def run_i16(samples_i16, sf_idx, scale, cfo):
+        """Quantized-IQ ingest: (B, RX, sf_len, 2) int16 + scale, with the
+        residual-CFO de-rotation applied on device (the reference's host-side
+        `srsran_cfo_correct`; here it rides the H2D-halving int16 path)."""
+        x = samples_i16.astype(jnp.float32) * scale
+        n = x.shape[-2]
+        theta = (-2.0 * np.pi / cell.n_fft) * cfo * jnp.arange(n,
+                                                               dtype=jnp.float32)
+        c, s = jnp.cos(theta), jnp.sin(theta)
+        xr, xi = x[..., 0], x[..., 1]
+        x = jnp.stack([xr * c - xi * s, xr * s + xi * c], axis=-1)
+        return run_ri(x, sf_idx)
+
     def run(samples, sf_idx):
         x = np.asarray(samples)
         if np.iscomplexobj(x):
@@ -67,4 +81,5 @@ def make_frontend(cell: CellConfig):
         return run_ri(jnp.asarray(x), jnp.asarray(np.asarray(sf_idx)))
 
     run.jitted_ri = run_ri
+    run.jitted_i16 = run_i16
     return run

@@ -129,10 +129,17 @@ def decode_mib(grids_b, h_b, noise_var_b, cell: CellConfig) -> MibResult:
     """Try to decode the MIB from one subframe-0 grid.
 
     grids_b: (RX, 14, n_sc); h_b: (RX, P, 14, n_sc); noise_var_b: scalar.
+    Accepts device arrays directly (sliced views of the frontend batch):
+    the only device->host transfer is the (8, 40) decoded-bit matrix.
     """
     run = _make_decoder(cell)
-    bits = np.asarray(run(jnp.asarray(grids_b), jnp.asarray(h_b),
-                          jnp.asarray(noise_var_b)))
+    bits = np.asarray(run(grids_b, h_b, noise_var_b))
+    return resolve_mib_bits(bits)
+
+
+def resolve_mib_bits(bits: np.ndarray) -> MibResult:
+    """Host half of the MIB decode: CRC-mask hypothesis resolution over the
+    (8, 40) decoded rows (port x frame-phase)."""
     for hi in range(8):
         port_hyp = 1 if hi < 4 else 2
         f = hi % 4

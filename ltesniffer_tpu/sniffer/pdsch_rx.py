@@ -177,9 +177,11 @@ def _decode_tb_from_llrs(llr, rnti, tbs, qm, rv, n_re, soft_buffers,
             d[1, :F] = 1e4
         off += E
         if soft_buffers is not None and harq_key is not None:
-            buf = soft_buffers.setdefault((harq_key, ci_), np.zeros_like(d))
-            buf += d
-            d = buf.copy()
+            # buffers may be device arrays (stored by the batch path)
+            prev = soft_buffers.get((harq_key, ci_))
+            d = d if prev is None else np.asarray(prev) + d
+            soft_buffers[(harq_key, ci_)] = d
+            d = d.copy()
         d_llrs.append(d)
     by_k = {}
     for ci_, K in enumerate(seg.K):
@@ -257,19 +259,85 @@ def _eq_demap_batch_fn(cell: CellConfig, qm: int, n_re_pad: int,
     return run
 
 
-def decode_grants_batch(grids, h, noise_var, cell: CellConfig,
-                        jobs: List[GrantJob],
-                        soft_buffers: Optional[Dict] = None,
-                        n_iter: int = 8) -> List[PdschResult]:
-    """Decode many grants with grouped device calls.
+def _pow2(n: int, lo: int = 1) -> int:
+    v = lo
+    while v < n:
+        v *= 2
+    return v
 
-    Equalize/demap/descramble runs once per (qm, RE-bucket) group; turbo
-    decoding once per code-block size K across ALL grants.  Results return
-    in job order.
+
+@functools.lru_cache(maxsize=256)
+def _derm_turbo_fn(K: int, e_max: int, n_rows: int, with_prior: bool,
+                   n_iter: int):
+    """Jitted device finisher for one code-block-size group: de-rate-match
+    scatter + filler LLRs + (HARQ prior add) + turbo decode + CB CRC24B +
+    bit packing.  The only host-visible output is a small (n, 1+W) u32
+    matrix [crc_rem | packed bits]; the combined LLRs stay on device for
+    HARQ buffer storage.
+
+    (flat_llr (N,), starts (n,), pos (n, e_max) i32 [-1 pad], F (n,) i32
+     [, prior (n, 3, K+4)]) -> (fused (n, 1+W) u32, d (n, 3, K+4) f32)
+    """
+    Kp = K + 4
+    Wk = (K + 31) // 32
+    dec = kturbo.make_decoder(K, n_iter)
+    w32 = (1 << np.arange(32, dtype=np.int64)).astype(np.uint32)
+
+    def body(flat_llr, starts, pos, F, prior):
+        n = n_rows
+        j = jnp.arange(e_max, dtype=jnp.int32)
+        seg = flat_llr[starts[:, None] + j[None, :]]          # (n, e_max)
+        valid = pos >= 0
+        d = jnp.zeros((n, 3 * Kp), jnp.float32)
+        d = d.at[jnp.arange(n)[:, None], jnp.where(valid, pos, 0)].add(
+            jnp.where(valid, seg, 0.0))
+        d = d.reshape(n, 3, Kp)
+        fm = jnp.arange(Kp)[None, :] < F[:, None]             # (n, Kp)
+        d = d.at[:, 0, :].set(jnp.where(fm, 1e4, d[:, 0, :]))
+        d = d.at[:, 1, :].set(jnp.where(fm, 1e4, d[:, 1, :]))
+        if prior is not None:
+            d = d + prior
+        bits, _ = dec(d)                                      # (n, K) u8
+        rem = crc.batched_crc(bits, crc.CRC24B).astype(jnp.int32)
+        remsum = jnp.sum(rem, axis=-1).astype(jnp.uint32)
+        pad = jnp.pad(bits, ((0, 0), (0, Wk * 32 - K)))
+        packed = jnp.sum(pad.reshape(n, Wk, 32).astype(jnp.uint32)
+                         * w32, axis=-1, dtype=jnp.uint32)
+        fused = jnp.concatenate([remsum[:, None], packed], axis=1)
+        return fused, d
+
+    if with_prior:
+        return jax.jit(lambda fl, s, p, f, pr: body(fl, s, p, f, pr))
+    return jax.jit(lambda fl, s, p, f: body(fl, s, p, f, None))
+
+
+@dataclasses.dataclass
+class PendingPdschBatch:
+    """In-flight device decode: `dispatch_grants_batch` output, finished by
+    `finish_grants_batch` (typically one batch later, overlapping the D2H
+    with the next batch's device work — the TPU analog of the reference's
+    in-flight worker pool)."""
+    jobs: List[GrantJob]
+    results: List[Optional[PdschResult]]
+    seg_of: Dict[int, object]
+    group_rows: list          # [(K, Wk, [(ji, ci, F), ...]), ...] row order
+    fused_dev: object         # (N_rows, 1 + W_max) u32 device array
+    buf_store: list           # [(key_ci, d_dev_row)] HARQ buffers to keep
+    n_re_of: Dict[int, int] = dataclasses.field(default_factory=dict)
+
+
+def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
+                          jobs: List[GrantJob],
+                          soft_buffers: Optional[Dict] = None,
+                          n_iter: int = 8) -> PendingPdschBatch:
+    """Launch the full decode of many grants on device; no host transfers.
+
+    Equalize/demap runs once per (qm, RE-bucket) group; de-rate-match +
+    HARQ combine + turbo + CB CRC + packing run per code-block-size K
+    (bucketed shapes).  Every output the host needs returns in ONE fused
+    u32 matrix whose D2H is started asynchronously here.
     """
     results: List[Optional[PdschResult]] = [None] * len(jobs)
-    # --- group by (qm, bucket) and run the eq/demap stage ----------------
-    llrs: List[Optional[np.ndarray]] = [None] * len(jobs)
     meta = []
     groups: Dict[Tuple[int, int], List[int]] = {}
     for ji, j in enumerate(jobs):
@@ -282,6 +350,10 @@ def decode_grants_batch(grids, h, noise_var, cell: CellConfig,
         groups.setdefault((j.qm, _bucket(len(re_idx))), []).append(ji)
     gflat = grids.reshape(grids.shape[0], grids.shape[1], -1, 2)
     hflat = h.reshape(h.shape[0], h.shape[1], h.shape[2], -1, 2)
+    # --- eq/demap per group; outputs stay on device --------------------
+    flat_parts = []
+    base_of: Dict[int, int] = {}
+    base_acc = 0
     for (qm, n_pad), jis in groups.items():
         G = len(jis)
         bidx = np.asarray([jobs[ji].b for ji in jis], np.int32)
@@ -294,64 +366,130 @@ def decode_grants_batch(grids, h, noise_var, cell: CellConfig,
             j = jobs[ji]
             cinit[row] = pdsch_mod.scrambling_cinit(j.rnti, 0, j.sf_idx,
                                                     cell.n_id_cell)
+            base_of[ji] = base_acc + row * (n_pad * qm)
         fn = _eq_demap_batch_fn(cell, qm, n_pad, cell.nof_ports >= 2)
-        out = np.asarray(fn(gflat, hflat, noise_var, jnp.asarray(bidx),
-                            jnp.asarray(idx), jnp.asarray(cinit)))
-        for row, ji in enumerate(jis):
-            llrs[ji] = out[row, :len(meta[ji]) * qm]
+        out = fn(gflat, hflat, noise_var, jnp.asarray(bidx),
+                 jnp.asarray(idx), jnp.asarray(cinit))      # (G, n_pad*qm)
+        flat_parts.append(out.reshape(-1))
+        base_acc += G * n_pad * qm
+    n_re_of = {ji: len(meta[ji]) for ji in range(len(jobs))
+               if results[ji] is None}
+    if not flat_parts:
+        return PendingPdschBatch(jobs, results, {}, [], None, [], n_re_of)
+    flat = (jnp.concatenate(flat_parts) if len(flat_parts) > 1
+            else flat_parts[0])
 
-    # --- de-rate-match + HARQ combine (host) + grouped turbo -------------
-    cb_batches: Dict[int, List[np.ndarray]] = {}
-    cb_owner: Dict[int, List[Tuple[int, int]]] = {}
-    seg_of = {}
-    d_llrs_of: Dict[int, List[np.ndarray]] = {}
-    for ji, j in enumerate(jobs):
-        if results[ji] is not None or llrs[ji] is None:
-            continue
-        Gbits = len(llrs[ji])
-        seg = turbo_mod.segment_sizes(j.tbs)
-        seg_of[ji] = seg
-        es = pdsch_mod.cb_rate_match_sizes(Gbits, seg.C, j.qm)
-        d_list = []
-        off = 0
-        for ci_, (K, E) in enumerate(zip(seg.K, es)):
-            F = seg.F if ci_ == 0 else 0
-            pos = turbo_mod.derm_positions(K, F, E, j.rv)
-            d = np.zeros(3 * (K + 4), dtype=np.float32)
-            np.add.at(d, pos, llrs[ji][off:off + E])
-            d = d.reshape(3, K + 4)
-            if F:
-                d[0, :F] = 1e4
-                d[1, :F] = 1e4
-            off += E
-            if soft_buffers is not None and j.harq_key is not None:
-                buf = soft_buffers.setdefault((j.harq_key, ci_),
-                                              np.zeros_like(d))
-                buf += d
-                d = buf.copy()
-            d_list.append(d)
-            cb_batches.setdefault(K, []).append(d)
-            cb_owner.setdefault(K, []).append((ji, ci_))
-        d_llrs_of[ji] = d_list
+    # --- collect code blocks, grouped by K ------------------------------
+    seg_of: Dict[int, object] = {}
+    by_k: Dict[int, list] = {}     # K -> [(ji, ci, F, E, start, prior_key)]
+    for (qm, n_pad), jis in groups.items():
+        for ji in jis:
+            j = jobs[ji]
+            Gbits = len(meta[ji]) * qm
+            seg = turbo_mod.segment_sizes(j.tbs)
+            seg_of[ji] = seg
+            es = pdsch_mod.cb_rate_match_sizes(Gbits, seg.C, j.qm)
+            off = 0
+            for ci_, (K, E) in enumerate(zip(seg.K, es)):
+                F = seg.F if ci_ == 0 else 0
+                key_ci = ((j.harq_key, ci_)
+                          if soft_buffers is not None and j.harq_key is not None
+                          else None)
+                by_k.setdefault(K, []).append(
+                    (ji, ci_, F, E, base_of[ji] + off, j.rv, key_ci))
+                off += E
 
+    # --- per-K device dispatch (bucketed shapes) -------------------------
+    group_rows = []
+    fused_parts = []
+    buf_store = []
+    w_max = max(((K + 31) // 32) for K in by_k) if by_k else 0
+    for K, rows in sorted(by_k.items()):
+        Wk = (K + 31) // 32
+        # partition: rows with an existing HARQ prior vs fresh rows
+        fresh, withp = [], []
+        for r in rows:
+            (withp if (r[6] is not None and r[6] in soft_buffers)
+             else fresh).append(r)
+        for sub, has_prior in ((fresh, False), (withp, True)):
+            if not sub:
+                continue
+            n_b = _pow2(len(sub), 4)
+            e_max = _pow2(max(r[3] for r in sub), 256)
+            starts = np.zeros(n_b, np.int32)
+            F_arr = np.zeros(n_b, np.int32)
+            pos = np.full((n_b, e_max), -1, np.int32)
+            priors = []
+            for r_i, (ji, ci_, F, E, start, rv, key_ci) in enumerate(sub):
+                starts[r_i] = start
+                F_arr[r_i] = F
+                pos[r_i, :E] = turbo_mod.derm_positions(K, F, E, rv)
+                if has_prior:
+                    priors.append(jnp.asarray(soft_buffers[key_ci]))
+            fn = _derm_turbo_fn(K, e_max, n_b, has_prior, n_iter)
+            if has_prior:
+                while len(priors) < n_b:
+                    priors.append(np.zeros((3, K + 4), np.float32))
+                prior = jnp.stack(priors)
+                fused, d = fn(flat, jnp.asarray(starts), jnp.asarray(pos),
+                              jnp.asarray(F_arr), prior)
+            else:
+                fused, d = fn(flat, jnp.asarray(starts), jnp.asarray(pos),
+                              jnp.asarray(F_arr))
+            # store combined LLRs as the new HARQ soft buffers (device)
+            for r_i, (ji, ci_, F, E, start, rv, key_ci) in enumerate(sub):
+                if key_ci is not None:
+                    d_row = d[r_i]
+                    soft_buffers[key_ci] = d_row
+                    buf_store.append((key_ci, d_row))
+            if Wk < w_max:
+                fused = jnp.pad(fused, ((0, 0), (0, w_max - Wk)))
+            fused_parts.append(fused[:len(sub)])
+            group_rows.append((K, Wk, [(r[0], r[1], r[2]) for r in sub]))
+    fused_dev = (jnp.concatenate(fused_parts) if len(fused_parts) > 1
+                 else fused_parts[0]) if fused_parts else None
+    if fused_dev is not None:
+        try:
+            fused_dev.copy_to_host_async()
+        except Exception:
+            pass
+    return PendingPdschBatch(jobs, results, seg_of, group_rows, fused_dev,
+                             buf_store, n_re_of)
+
+
+def finish_grants_batch(pb: PendingPdschBatch,
+                        soft_buffers: Optional[Dict] = None
+                        ) -> List[PdschResult]:
+    """Read the fused result matrix and assemble per-job PdschResults
+    (TB CRC24A + reassembly on host; MAC payloads need host bits anyway)."""
+    jobs, results = pb.jobs, pb.results
+    if pb.fused_dev is None:
+        return results
+    host = np.asarray(pb.fused_dev)            # ONE D2H for the whole batch
     bits_of: Dict[Tuple[int, int], np.ndarray] = {}
-    for K, ds in cb_batches.items():
-        bits, _ = kturbo.make_decoder(K, n_iter)(jnp.asarray(np.stack(ds)))
-        bits = np.asarray(bits)
-        for row, (ji, ci_) in enumerate(cb_owner[K]):
-            bits_of[(ji, ci_)] = bits[row]
-
-    # --- CRC + assembly --------------------------------------------------
+    rem_of: Dict[Tuple[int, int], int] = {}
+    shifts = np.arange(32, dtype=np.uint32)
+    r0 = 0
+    for K, Wk, rows in pb.group_rows:
+        n = len(rows)
+        sub = host[r0:r0 + n]
+        r0 += n
+        packed = sub[:, 1:1 + Wk]
+        bits = ((packed[:, :, None] >> shifts) & 1).astype(np.uint8)
+        bits = bits.reshape(n, Wk * 32)[:, :K]
+        for r_i, (ji, ci_, F) in enumerate(rows):
+            bits_of[(ji, ci_)] = bits[r_i]
+            rem_of[(ji, ci_)] = int(sub[r_i, 0])
     for ji, j in enumerate(jobs):
-        if results[ji] is not None or ji not in seg_of:
+        if results[ji] is not None or ji not in pb.seg_of:
             continue
-        seg = seg_of[ji]
+        seg = pb.seg_of[ji]
         cb_ok, parts = [], []
         for ci_, K in enumerate(seg.K):
             blk = bits_of[(ji, ci_)]
             F = seg.F if ci_ == 0 else 0
             if seg.C > 1:
-                ok = crc.crc_bits(blk, crc.CRC24B).sum() == 0
+                ok = rem_of[(ji, ci_)] == 0
                 data = blk[F:K - turbo_mod.SEG_CRC]
             else:
                 ok = True
@@ -366,5 +504,16 @@ def decode_grants_batch(grids, h, noise_var, cell: CellConfig,
             for ci_ in range(seg.C):
                 soft_buffers.pop((j.harq_key, ci_), None)
         results[ji] = PdschResult(j.rnti, j.tbs, bool(tb_ok), tb_bits,
-                                  cb_ok, d_llrs_of[ji], len(meta[ji]))
+                                  cb_ok, [], pb.n_re_of.get(ji, 0))
     return results
+
+
+def decode_grants_batch(grids, h, noise_var, cell: CellConfig,
+                        jobs: List[GrantJob],
+                        soft_buffers: Optional[Dict] = None,
+                        n_iter: int = 8) -> List[PdschResult]:
+    """Decode many grants with grouped device calls (synchronous wrapper
+    around `dispatch_grants_batch` + `finish_grants_batch`)."""
+    pb = dispatch_grants_batch(grids, h, noise_var, cell, jobs,
+                               soft_buffers=soft_buffers, n_iter=n_iter)
+    return finish_grants_batch(pb, soft_buffers=soft_buffers)
