@@ -23,8 +23,29 @@ def test_pcap_roundtrip(tmp_path):
     assert recs[0]["payload"] == b"\x01\x02\x03"
     assert recs[1]["rnti_type"] == pcap.SI_RNTI
     assert recs[2]["direction"] == pcap.DIRECTION_UPLINK
-    assert recs[2]["retx"] == 2
     assert recs[2]["rnti_type"] == pcap.RA_RNTI  # 0x0007 in RA range
+
+
+def test_dlt147_frame_bytes_match_reference():
+    """The DLT-147 record body must match the reference's on-disk framing.
+
+    Expected bytes are the first record of the shipped golden
+    `/root/reference/pcap_file_example/ltesniffer_dl_mode.pcap`
+    (SI-RNTI, sfn 430, sf 5): context + tag stream, NO start string.
+    """
+    payload = bytes.fromhex("406404ab00070019b0181460108280000000")
+    frame = pcap.build_mac_lte_frame(
+        payload, rnti=0xFFFF, direction=pcap.DIRECTION_DOWNLINK,
+        sfn=430, sf_idx=5, crc_ok=True)
+    expected = bytes.fromhex("01010402ffff030000041ae507010a000f0001") \
+        + payload
+    assert frame == expected
+    assert not frame.startswith(pcap.MAC_LTE_START_STRING)
+    # UDP-heuristic framing keeps the start string
+    udp = pcap.build_udp_framed_payload(
+        payload, rnti=0xFFFF, direction=pcap.DIRECTION_DOWNLINK,
+        sfn=430, sf_idx=5)
+    assert udp.startswith(b"mac-lte")
 
 
 def test_iq_roundtrip(tmp_path):
