@@ -5,10 +5,8 @@ as configured by SIB2 (the reference pulls this from `ULSchedule::set_SIB2`,
 `src/src/ULSchedule.cc:105-158`, and estimates with
 `srsran_chest_ul_estimate_pusch`).
 
-DATA PROVENANCE: sequences for >=3 PRB are EXACT ZC math; the 1-2 PRB
-special base sequences (36.211 Tables 5.5.1.2-1/2) are RECONSTRUCTED
-deterministic QPSK phase tables (structure-faithful, not the published
-values) — drop-in replaceable in `_PHI_TABLE_*`.
+Sequences for >=3 PRB are ZC math; the 1-2 PRB special base sequences use
+the published phi(n) tables (36.211 Tables 5.5.1.2-1/2, `tables_data`).
 """
 from __future__ import annotations
 
@@ -17,6 +15,7 @@ import functools
 import numpy as np
 
 from . import sequences as seq_mod
+from . import tables_data as _data
 
 N_SC_RB = 12
 
@@ -42,11 +41,9 @@ def _largest_prime_below(n: int) -> int:
     return p
 
 
-@functools.lru_cache(maxsize=None)
 def _phi_table(n_rb: int) -> np.ndarray:
-    """RECONSTRUCTED 30 x (12*n_rb) phase table for 1-2 PRB base sequences."""
-    rng = np.random.default_rng(12345 + n_rb)
-    return rng.choice([-3, -1, 1, 3], size=(30, 12 * n_rb)).astype(np.int8)
+    """Published 30 x (12*n_rb) phi tables for 1-2 PRB base sequences."""
+    return _data.DMRS_PHI_1PRB if n_rb == 1 else _data.DMRS_PHI_2PRB
 
 
 @functools.lru_cache(maxsize=256)

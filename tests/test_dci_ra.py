@@ -104,22 +104,76 @@ def test_tbs_table_anchors():
     t = tables.tbs_table()
     # exact 1-PRB column
     np.testing.assert_array_equal(t[:27, 0], tables.TBS_1PRB)
-    # monotone along both axes
-    assert (np.diff(t, axis=0) >= 0).all()
+    # monotone along both axes (ordered rows 0..33; 32A/33A sit off-ladder)
+    assert (np.diff(t[:34], axis=0) >= 0).all()
     assert (np.diff(t, axis=1) >= 0).all()
     # all entries are zero-filler-compatible sizes
     allowed = set(tables.allowed_tbs_set().tolist())
     assert set(np.unique(t).tolist()) <= allowed
+    # 32A between rows 32 and 33; 33A above 33
+    assert (t[32] <= t[tables.ITBS_32A]).all()
+    assert (t[tables.ITBS_32A] <= t[33]).all()
+    assert (t[33] <= t[tables.ITBS_33A]).all()
+
+
+def test_tbs_published_spot_values():
+    """Published 36.213 Table 7.1.7.2.1-1 values."""
+    # LTE Cat-4 per-codeword peak (MCS 28, 100 PRB)
+    assert tables.tbs_lookup(26, 100) == 75376
+    assert tables.tbs_lookup(26, 110) == 75376
+    # 256QAM per-codeword peak
+    assert tables.tbs_lookup(33, 100) == 97896
+    # row 32A is the published v15 row (reference ul_sniffer_pusch.c:7-17)
+    assert tables.tbs_lookup(tables.ITBS_32A, 1) == 904
+    assert tables.tbs_lookup(tables.ITBS_32A, 50) == 46888
+    assert tables.tbs_lookup(tables.ITBS_32A, 100) == 93800
+    assert tables.tbs_lookup(tables.ITBS_32A, 110) == 101840
+    # classic small anchors
+    assert tables.tbs_lookup(0, 1) == 16
+    assert tables.tbs_lookup(9, 10) == 1544
+    assert tables.tbs_lookup(15, 50) == 15264
+    # Format 1C table
+    assert tables.tbs_format1c(0) == 40
+    assert tables.tbs_format1c(31) == 1736
+
+
+def test_tbs_2layer_translation():
+    # published large-baseline pairs (7.1.7.2.2-1)
+    assert tables.tbs_2layer(75376) == 149776   # Cat-5 per-codeword peak
+    assert tables.tbs_2layer(48936) == 97896
+    assert tables.tbs_2layer(42368) == 84760
+    assert tables.tbs_2layer(52752) == 105528
+    # doubling-consistency region: translate(TBS(i,n)) == TBS(i,2n)
+    for i, n in [(26, 49), (20, 40), (10, 30)]:
+        assert tables.tbs_2layer(tables.tbs_lookup(i, n)) == \
+            tables.tbs_lookup(i, 2 * n)
 
 
 def test_qpp_permutations_valid():
     coeffs = tables.qpp_coefficients()
     ks = tables.turbo_k_sizes()
-    assert len(ks) == 188
+    assert len(ks) == 188 and len(coeffs) == 188
+    # published anchors (36.212 Table 5.1.3-3)
     assert coeffs[40] == (3, 10) and coeffs[6144] == (263, 480)
-    for k in (40, 48, 512, 528, 1024, 1056, 2048, 2112, 6144):
+    assert coeffs[512] == (31, 64) and coeffs[1024] == (31, 64)
+    assert coeffs[2048] == (31, 64) and coeffs[128] == (15, 32)
+    for k in ks.tolist():
         pi = tables.qpp_interleave_indices(k)
         assert len(np.unique(pi)) == k
+
+
+def test_ul_256qam_mcs_mapping():
+    """36.213 Table 8.6.1-3 incl. the 32A/33A special rows
+    (reference ul_fill_ra_mcs_256, ul_sniffer_pusch.c:91-135)."""
+    assert tables.ul_mcs_to_qm_itbs(5, "256qam") == (2, 10)
+    assert tables.ul_mcs_to_qm_itbs(9, "256qam") == (4, 14)
+    assert tables.ul_mcs_to_qm_itbs(10, "256qam") == (4, 16)
+    assert tables.ul_mcs_to_qm_itbs(18, "256qam") == (6, 24)
+    assert tables.ul_mcs_to_qm_itbs(19, "256qam") == (6, 26)
+    assert tables.ul_mcs_to_qm_itbs(25, "256qam") == (8, 32)
+    assert tables.ul_mcs_to_qm_itbs(26, "256qam") == (8, tables.ITBS_32A)
+    assert tables.ul_mcs_to_qm_itbs(27, "256qam") == (8, 33)
+    assert tables.ul_mcs_to_qm_itbs(28, "256qam") == (8, tables.ITBS_33A)
 
 
 def test_search_space_yk_and_validation():

@@ -68,6 +68,8 @@ def test_pdsch_multi_codeblock():
     tbs = tables.tbs_lookup(i_tbs, 50)
     assert tbs > 6120
     tb = rng.integers(0, 2, tbs).astype(np.uint8)
+    # published TBS(26,50)=36696 is effective rate ~0.93 over cfi-2 REs —
+    # the spec's extreme operating point, so keep the test SNR high
     iq, G = _tx_subframe(1, 0x3333, prb_mask, 6, tb, rng, noise=0.02)
     out, st = _run_phase_a([iq], [1])
     res = pdsch_rx.decode_grant(
@@ -103,7 +105,7 @@ def test_pdsch_harq_retransmission_combining():
     # scan a few noise levels: combining must turn a failed rv0 into a
     # successful rv0+rv2 decode at some operating point
     seen = []
-    for noise in (0.55, 0.65, 0.75):
+    for noise in (0.35, 0.45, 0.55, 0.65):
         bufs = {}
         key = (0x7777, 0, 0)
         oks = []
