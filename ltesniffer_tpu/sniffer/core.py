@@ -79,7 +79,8 @@ class LTESnifferCore:
         self.mcs = trackers.MCSTracking()
         self.harq = trackers.HarqEntity()
         self.ulsche = trackers.ULSchedule()
-        self.soft_buffers: Dict = {}
+        self.soft_buffers = trackers.SoftBufferPool(cfg.max_harq_retx_buffers)
+        self.harq_skipped = 0
         self.frontend = frontend.make_frontend(self.cell)
         self.sfn = cfg.sfn0
         self.sf_count = 0
@@ -312,7 +313,9 @@ class LTESnifferCore:
                         self._handle_dl_dci(out, gi, c, a, sfn_i, sf)
                     else:
                         job = self._prepare_dl_job(out, gi, c, a, sfn_i, sf)
-                        if job is None:
+                        if job is False:
+                            pass   # DECODED re-TX: skip (`HARQ.cc:121-127`)
+                        elif job is None:
                             # MIMO / degenerate: immediate path
                             self._handle_dl_dci(out, gi, c, a, sfn_i, sf)
                         else:
@@ -328,6 +331,7 @@ class LTESnifferCore:
         now_tti = trackers.tti_of(self.sfn + self.sf_count // 10,
                                   int(sf_idx[-1]))
         self.mcs.update_database(now_tti)
+        self.harq.prune(now_tti)
         ctx["stage"] = 3
 
     def _phase4(self, ctx: dict):
@@ -396,10 +400,16 @@ class LTESnifferCore:
         is_retx = False
         harq_key = None
         if not is_special:
-            is_retx, tbs = self.harq.classify(
+            dec = self.harq.classify(
                 a.rnti, grant.harq_pid, 0, grant.ndi, tbs, tti)
+            if dec.decoded:
+                self.harq_skipped += 1
+                return False   # already decoded re-TX: skip entirely
+            is_retx, tbs = dec.is_retx, dec.tbs
             if known != trackers.McsTable.UNKNOWN:
                 harq_key = self.harq.buffer_key(a.rnti, grant.harq_pid, 0)
+                if not is_retx:
+                    self.soft_buffers.clear_harq(harq_key)
         if tbs <= 0:
             return None
         return pdsch_rx.GrantJob(
@@ -460,6 +470,8 @@ class LTESnifferCore:
         sfn, sf = t["sfn"], t["sf"]
         is_retx = t["is_retx"]
         crc_ok = res.crc_ok
+        if not t["is_special"]:
+            self.harq.report_crc(a.rnti, t["grant"].harq_pid, 0, crc_ok)
         payload = None
         if crc_ok and a.rnti == SIRNTI:
             self._handle_sib(np.packbits(res.tb_bits).tobytes())
@@ -526,9 +538,15 @@ class LTESnifferCore:
         is_retx = False
         harq_key = None
         if not is_special:
-            is_retx, tbs0 = self.harq.classify(
+            dec = self.harq.classify(
                 a.rnti, grant.harq_pid, 0, grant.ndi, tbs0, tti)
+            if dec.decoded:
+                self.harq_skipped += 1
+                return
+            is_retx, tbs0 = dec.is_retx, dec.tbs
             harq_key = self.harq.buffer_key(a.rnti, grant.harq_pid, 0)
+            if not is_retx:
+                self.soft_buffers.clear_harq(harq_key)
         # soft combining only when the MCS table is unambiguous (a trial
         # decode must not pollute the HARQ buffer)
         use_buffers = harq_key is not None and len(tried) == 1
@@ -559,6 +577,8 @@ class LTESnifferCore:
 
         payload = None
         crc_ok = res.crc_ok if res else False
+        if not is_special:
+            self.harq.report_crc(a.rnti, grant.harq_pid, 0, crc_ok)
         if res and res.crc_ok:
             payload = np.packbits(res.tb_bits).tobytes()
             self._emit_pdsch(a, payload, sfn, sf, crc_ok=True,
@@ -600,11 +620,14 @@ class LTESnifferCore:
                                         (grant.mcs2, grant.ndi2))):
             qm, i_tbs = tables.dl_mcs_to_qm_itbs(mcs, use256)
             tbs = tables.tbs_lookup(i_tbs, grant.n_prb_alloc) if i_tbs >= 0 else 0
-            is_retx, tbs = self.harq.classify(a.rnti, grant.harq_pid, q,
-                                              ndi, tbs, tti)
+            dec = self.harq.classify(a.rnti, grant.harq_pid, q,
+                                     ndi, tbs, tti)
+            key = self.harq.buffer_key(a.rnti, grant.harq_pid, q)
+            if not dec.is_retx:
+                self.soft_buffers.clear_harq(key)
             qms.append(qm)
-            tbss.append(tbs)
-            keys.append(self.harq.buffer_key(a.rnti, grant.harq_pid, q))
+            tbss.append(dec.tbs)
+            keys.append(key)
         if min(tbss) <= 0:
             return
         res = pdsch_rx.decode_grant_mimo(
@@ -616,6 +639,7 @@ class LTESnifferCore:
         st = self.mcs.stat_dl(a.rnti)
         st.last_seen_tti = tti
         for q, r in enumerate(res):
+            self.harq.report_crc(a.rnti, grant.harq_pid, q, r.crc_ok)
             if r.crc_ok:
                 st.success += 1
                 payload = np.packbits(r.tb_bits).tobytes()
@@ -703,6 +727,7 @@ class LTESnifferCore:
             "subframes": self.processed,
             "dcis": len(self.results),
             "pdsch_ok": ok,
+            "harq_skipped": self.harq_skipped,
             "active_rntis": len(self.rm.active_set()),
             "search_stats": dataclasses.asdict(self.search.stats),
         }
@@ -736,7 +761,6 @@ class LTESnifferCoreUL(LTESnifferCore):
         self.ul_frontend = pusch_rx.make_ul_frontend(self.cell)
         self.cyclic_shift_cfg = cyclic_shift_cfg
         self.ul_results: List[AcceptedPusch] = []
-        self.ul_soft_buffers: Dict = {}
 
     def run_dual_samples(self, dl_samples: np.ndarray, ul_samples: np.ndarray,
                          sf_idx0: int = 0,

@@ -406,12 +406,34 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
     w_max = max(((K + 31) // 32) for K in by_k) if by_k else 0
     for K, rows in sorted(by_k.items()):
         Wk = (K + 31) // 32
-        # partition: rows with an existing HARQ prior vs fresh rows
-        fresh, withp = [], []
+        # In-batch retransmission chains: the r-th occurrence of a HARQ key
+        # within one dispatch must combine with the (r-1)-th occurrence's
+        # output, not share its prior.  Rows are split into occurrence
+        # rounds; round r-1 stores its combined LLRs (device array) into
+        # `soft_buffers` before round r builds its priors, so chains
+        # combine sequentially with zero extra D2H (the old host path's
+        # `buf += d` semantics, batched).
+        occ_of: Dict = {}
+        rounds: List[list] = []
         for r in rows:
-            (withp if (r[6] is not None and r[6] in soft_buffers)
-             else fresh).append(r)
-        for sub, has_prior in ((fresh, False), (withp, True)):
+            o = 0
+            if r[6] is not None:
+                o = occ_of.get(r[6], 0)
+                occ_of[r[6]] = o + 1
+            while len(rounds) <= o:
+                rounds.append([])
+            rounds[o].append(r)
+        def _subsets():
+            # lazy: the prior check for round r must run AFTER round r-1's
+            # dispatch stored its combined buffers into `soft_buffers`
+            for rnd in rounds:
+                fresh, withp = [], []
+                for r in rnd:
+                    (withp if (r[6] is not None and r[6] in soft_buffers)
+                     else fresh).append(r)
+                yield fresh, False
+                yield withp, True
+        for sub, has_prior in _subsets():
             if not sub:
                 continue
             n_b = _pow2(len(sub), 4)

@@ -123,38 +123,130 @@ class HarqProcState:
     tbs: int = 0
     last_tti: int = 0
     active: bool = False
+    decoded: bool = False
+
+
+@dataclasses.dataclass
+class HarqDecision:
+    is_retx: bool
+    tbs: int
+    decoded: bool = False   # re-TX of a TB that already passed CRC -> skip
 
 
 class HarqEntity:
-    """DL HARQ classification DB (reference: 150 RNTIs x 8 proc x 2 TB)."""
+    """DL HARQ classification DB (reference: 150 RNTIs x 8 proc x 2 TB,
+    `HARQ.cc:71-130`).
 
-    RECURRENCE = 8   # ms; `HARQ.cc:60-68`
+    Classification per the reference's `is_retransmission`:
+    * unseen process -> new TX (`HARQ.cc:112` `is_first_transmission`);
+    * TTI distance from the last grant != 8 ms -> new TX (`comparetti`,
+      `HARQ.cc:60-68`: the FDD HARQ process recurrence is exactly 8 ms);
+    * NDI toggled or TBS changed -> new TX (`HARQ.cc:110-113`);
+    * otherwise re-TX; if the stored TB already passed CRC the decision is
+      DECODED and the caller skips the decode (`HARQ.cc:121-127`).
+    """
+
+    RECURRENCE = 8      # ms; `HARQ.cc:60-68`
+    MAX_RNTIS = 150     # `HARQ.h:45-46` 150-entry DB (FULL_BUFFER beyond)
+    INACTIVITY_MS = 5000
 
     def __init__(self):
         self.db: Dict[Tuple[int, int, int], HarqProcState] = {}
+        self._rntis: Dict[int, int] = {}   # rnti -> last_tti
 
     def classify(self, rnti: int, pid: int, tb: int, ndi: int, tbs: int,
-                 tti: int) -> Tuple[bool, int]:
-        """Returns (is_retransmission, tbs_to_use).
-
-        New TX when the NDI toggled or the process is unseen; re-TX when NDI
-        is unchanged (soft buffer should be combined).  For re-TX with
+                 tti: int) -> HarqDecision:
+        """Returns the HARQ decision and the TBS to use.  For re-TX with
         unknown TBS (mcs 29-31 -> tbs<=0) the stored TBS is returned
-        (`HARQ.cc:71-130`, `getlastTbs`)."""
+        (`getlastTbs`, `HARQ.h:107-132`)."""
+        if rnti not in self._rntis and len(self._rntis) >= self.MAX_RNTIS:
+            # DL_SNIFFER_HARQ_FULL_BUFFER: decode as new TX, no tracking
+            return HarqDecision(False, tbs)
+        self._rntis[rnti] = tti
         key = (rnti, pid, tb)
         st = self.db.setdefault(key, HarqProcState())
-        if not st.active or st.ndi != ndi:
-            st.ndi, st.tbs, st.last_tti, st.active = ndi, tbs, tti, True
-            return False, tbs
-        # same NDI -> retransmission
+        dist = tti_delta(tti, st.last_tti)
+        is_new = (not st.active
+                  or dist != self.RECURRENCE
+                  or st.ndi != ndi
+                  or (tbs > 0 and st.tbs > 0 and tbs != st.tbs))
+        if is_new:
+            st.ndi, st.tbs, st.last_tti = ndi, tbs, tti
+            st.active, st.decoded = True, False
+            return HarqDecision(False, tbs)
+        # same NDI, 8 ms recurrence -> retransmission
         use_tbs = tbs if tbs > 0 else st.tbs
         st.last_tti = tti
         if tbs > 0:
             st.tbs = tbs
-        return True, use_tbs
+        return HarqDecision(True, use_tbs, decoded=st.decoded)
+
+    def report_crc(self, rnti: int, pid: int, tb: int, crc_ok: bool):
+        """Record the decode outcome (`last_decoded`,
+        `DL_Sniffer_PDSCH.cc:1009`): a later re-TX of a decoded TB is
+        skipped instead of re-decoded."""
+        st = self.db.get((rnti, pid, tb))
+        if st is not None and st.active:
+            st.decoded = bool(crc_ok)
+
+    def prune(self, now_tti: int):
+        """Free DB slots of RNTIs idle > 5 s (`updateHARQDatabase`)."""
+        dead = [r for r, t in self._rntis.items()
+                if tti_delta(now_tti, t) > self.INACTIVITY_MS]
+        for r in dead:
+            del self._rntis[r]
+        if dead:
+            dead_set = set(dead)
+            for key in [k for k in self.db if k[0] in dead_set]:
+                del self.db[key]
 
     def buffer_key(self, rnti: int, pid: int, tb: int) -> Tuple:
         return (rnti, pid, tb)
+
+
+class SoftBufferPool(dict):
+    """Bounded pool of HARQ soft-combining buffers keyed ((rnti,pid,tb), ci).
+
+    The reference pre-allocates 150x8x2 softbuffers (`HARQ::init_HARQ`);
+    here device LLR arrays are pooled with insertion-order eviction once
+    `max_buffers` is exceeded (`SnifferConfig.max_harq_retx_buffers`)."""
+
+    def __init__(self, max_buffers: int = 4096):
+        super().__init__()
+        self.max_buffers = max_buffers
+        self._by_harq: Dict = {}   # harq_key -> set of pool keys
+
+    def __setitem__(self, key, value):
+        if key in self:
+            super().pop(key)   # re-insert at the back (LRU-by-insertion)
+        super().__setitem__(key, value)
+        self._by_harq.setdefault(key[0], set()).add(key)
+        while len(self) > self.max_buffers:
+            self._drop(next(iter(self)))
+
+    def _drop(self, key):
+        super().pop(key, None)
+        s = self._by_harq.get(key[0])
+        if s is not None:
+            s.discard(key)
+            if not s:
+                del self._by_harq[key[0]]
+
+    def pop(self, key, *default):
+        had = key in self
+        if had:
+            val = self[key]
+            self._drop(key)
+            return val
+        if default:
+            return default[0]
+        raise KeyError(key)
+
+    def clear_harq(self, harq_key):
+        """Drop every code-block buffer of one HARQ process (new TX resets
+        the soft buffer, `srsran_softbuffer_rx_reset_tbs` analog)."""
+        for k in list(self._by_harq.get(harq_key, ())):
+            self._drop(k)
 
 
 @dataclasses.dataclass
