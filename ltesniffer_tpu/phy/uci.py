@@ -23,6 +23,36 @@ RI_COLS = (1, 10, 7, 4)
 ACK_COLS = (2, 9, 8, 3)
 N_COLS = 12
 
+# 36.213 Table 8.6.3-1: I_offset^HARQ-ACK -> beta_offset^HARQ-ACK
+BETA_ACK = (2.000, 2.500, 3.125, 4.000, 5.000, 6.250, 8.000, 10.000,
+            12.625, 15.875, 20.000, 31.000, 50.000, 80.000, 126.000, 0.0)
+# 36.213 Table 8.6.3-2: I_offset^RI -> beta_offset^RI
+BETA_RI = (1.250, 1.625, 2.000, 2.500, 3.125, 4.000, 5.000, 6.250,
+           8.000, 10.000, 12.625, 15.875, 20.000, 0.0, 0.0, 0.0)
+# 36.213 Table 8.6.3-3: I_offset^CQI -> beta_offset^CQI (indices 0-1 reserved)
+BETA_CQI = (0.0, 0.0, 1.125, 1.250, 1.375, 1.625, 1.750, 2.000,
+            2.250, 2.500, 2.875, 3.125, 3.500, 4.000, 5.000, 6.250)
+
+
+def uci_symbol_counts(nof_ack: int, ri_len: int, i_offset_ack: int,
+                      i_offset_ri: int, n_prb: int, tbs: int):
+    """(n_ri_syms, n_ack_syms) for a PUSCH grant.
+
+    The reference feeds nof_acks (matched from the subframe's DL DCIs,
+    `SubframeWorker.cc:319-337`) and the UE-config beta offsets into
+    srsRAN's UCI demux (`UL_Sniffer_PUSCH.cc:429-450`); here the 36.212
+    5.2.2.6 Q' formula is evaluated directly with the current grant
+    (M_sc * N_symb = 12 * n_prb subcarriers x 12 data symbols) and
+    sum(K_r) from the TB's turbo segmentation."""
+    if nof_ack <= 0 and ri_len <= 0:
+        return 0, 0
+    from ltesniffer_tpu.phy import turbo as turbo_mod
+    m_sc = 12 * n_prb
+    sum_kr = int(np.sum(turbo_mod.segment_sizes(tbs).K)) if tbs > 0 else 1
+    n_ack = q_prime(nof_ack, BETA_ACK[i_offset_ack & 15], m_sc, sum_kr)
+    n_ri = q_prime(ri_len, BETA_RI[i_offset_ri & 15], m_sc, sum_kr)
+    return n_ri, n_ack
+
 
 def q_prime(o_bits: int, beta: float, m_sc: int, g_symbols: int) -> int:
     """Approximate Q' (modulation symbols per UCI field).

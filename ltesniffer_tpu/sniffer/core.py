@@ -304,22 +304,31 @@ class LTESnifferCore:
         for (i, c, gi, sf, sfn_i, accepted) in resolved:
             out = outs[c]
             if self.cfg.decode_pdsch:
+                # DL DCIs first so UL DCI0s can match ACK counts against
+                # this subframe's DL assignments (`SubframeWorker.cc:319-337`)
+                ul_dcis = []
+                dl_ack: Dict[int, int] = {}
                 for a in accepted:
                     if getattr(a, "_done", False):
                         continue
                     if a.fmt == "0":
-                        self._handle_ul_dci(a, sfn_i, sf)
+                        ul_dcis.append(a)
                     elif RARNTI_START <= a.rnti <= RARNTI_END:
                         self._handle_dl_dci(out, gi, c, a, sfn_i, sf)
                     else:
-                        job = self._prepare_dl_job(out, gi, c, a, sfn_i, sf)
+                        job = self._prepare_dl_job(out, gi, c, a, sfn_i, sf,
+                                                   ack_out=dl_ack)
                         if job is False:
                             pass   # DECODED re-TX: skip (`HARQ.cc:121-127`)
                         elif job is None:
                             # MIMO / degenerate: immediate path
-                            self._handle_dl_dci(out, gi, c, a, sfn_i, sf)
+                            self._handle_dl_dci(out, gi, c, a, sfn_i, sf,
+                                                ack_out=dl_ack)
                         else:
                             pending.append((c, job))
+                for a in ul_dcis:
+                    self._handle_ul_dci(a, sfn_i, sf,
+                                        nof_ack=dl_ack.get(a.rnti, 0))
             if self.on_subframe:
                 self.on_subframe(dict(out=out, gi=gi, cfi=c, sf=sf,
                                       sfn=sfn_i, accepted=accepted))
@@ -362,7 +371,8 @@ class LTESnifferCore:
                                                     a.payload.nbits)
 
     # ------------------------------------------------------------------
-    def _handle_ul_dci(self, a: dci_search.AcceptedDci, sfn: int, sf: int):
+    def _handle_ul_dci(self, a: dci_search.AcceptedDci, sfn: int, sf: int,
+                       nof_ack: int = 0):
         d = dci_mod.unpack(a.payload, "0", self.cell, rnti=a.rnti)
         g = dci_mod.ul_grant_from_dci(d, self.cell)
         prb_start = g.prb_start
@@ -375,17 +385,20 @@ class LTESnifferCore:
         self.ulsche.push_dci0(trackers.tti_of(sfn, sf), trackers.UlGrantPending(
             rnti=a.rnti, tti_apply=0, mcs=g.mcs, prb_start=prb_start,
             n_prb=g.n_prb, ndi=g.ndi, hopping=g.hopping, dmrs_cs=g.dmrs_cs,
-            cqi_request=g.cqi_request))
+            cqi_request=g.cqi_request, nof_ack=nof_ack))
         st = self.mcs.stat_ul(a.rnti)
         st.new_tx += 1
         st.last_seen_tti = trackers.tti_of(sfn, sf)
 
     def _prepare_dl_job(self, out, gi: int, cfi: int,
-                        a: dci_search.AcceptedDci, sfn: int, sf: int):
+                        a: dci_search.AcceptedDci, sfn: int, sf: int,
+                        ack_out: Optional[Dict[int, int]] = None):
         """Build a batchable GrantJob for a single-TB DL DCI (None if the
         grant needs the immediate path: MIMO or no usable TBS)."""
         d = dci_mod.unpack(a.payload, a.fmt, self.cell, rnti=a.rnti)
         grant = dci_mod.dl_grant_from_dci(d, self.cell)
+        if ack_out is not None and a.rnti not in (SIRNTI, PRNTI):
+            ack_out[a.rnti] = max(ack_out.get(a.rnti, 0), grant.nof_tb)
         if grant.nof_tb == 2:
             return None
         tti = trackers.tti_of(sfn, sf)
@@ -500,9 +513,13 @@ class LTESnifferCore:
             is_retx=is_retx, table=t["table"]))
 
     def _handle_dl_dci(self, out, gi: int, cfi: int,
-                       a: dci_search.AcceptedDci, sfn: int, sf: int):
+                       a: dci_search.AcceptedDci, sfn: int, sf: int,
+                       ack_out: Optional[Dict[int, int]] = None):
         d = dci_mod.unpack(a.payload, a.fmt, self.cell, rnti=a.rnti)
         grant = dci_mod.dl_grant_from_dci(d, self.cell)
+        if (ack_out is not None and a.rnti not in (SIRNTI, PRNTI)
+                and not RARNTI_START <= a.rnti <= RARNTI_END):
+            ack_out[a.rnti] = max(ack_out.get(a.rnti, 0), grant.nof_tb)
         tti = trackers.tti_of(sfn, sf)
         if grant.nof_tb == 2:
             # TB enabled iff not (mcs == 0 and rv == 1), 36.213 7.1.7.2
@@ -812,6 +829,11 @@ class LTESnifferCoreUL(LTESnifferCore):
             cascade = [({trackers.McsTable.UL_16QAM: "16qam",
                          trackers.McsTable.UL_64QAM: "64qam",
                          trackers.McsTable.UL_256QAM: "256qam"}[known], known)]
+        # UCI config: ACK count matched from the DCI0 subframe's DL DCIs,
+        # beta offsets from the UE-config DB, RI present on aperiodic CSI
+        # request (`UL_Sniffer_PUSCH.cc:429-450`: ri_len=1 for TM3/4)
+        ue_cfg = self.mcs.ue_config.get(g.rnti, trackers.UeConfig())
+        ri_len = 1 if g.cqi_request else 0
         tried_qm = set()
         res = None
         used = cascade[0][1]
@@ -823,10 +845,14 @@ class LTESnifferCoreUL(LTESnifferCore):
                 continue
             tried_qm.add(qm)
             tbs = tbl.tbs_lookup(i_tbs, g.n_prb)
+            from ltesniffer_tpu.phy import uci as uci_mod
+            n_ri, n_ack = uci_mod.uci_symbol_counts(
+                g.nof_ack, ri_len, ue_cfg.uci_offset_ack,
+                ue_cfg.uci_offset_ri, g.n_prb, tbs)
             r = pusch_rx.decode_grant_ul(
                 ul_grid, self.cell, sf, g.rnti, g.prb_start, g.n_prb, qm,
                 tbs, cyclic_shift_cfg=self.cyclic_shift_cfg,
-                dmrs_field=g.dmrs_cs)
+                dmrs_field=g.dmrs_cs, n_ri_syms=n_ri, n_ack_syms=n_ack)
             res = r
             used = tenum
             if r.crc_ok:

@@ -262,6 +262,9 @@ class UlGrantPending:
     cqi_request: int = 0
     from_rar: bool = False
     rapid: int = -1
+    # HARQ-ACKs multiplexed on this PUSCH: count of TBs the same RNTI was
+    # assigned in the DCI0's subframe (`SubframeWorker.cc:319-337`)
+    nof_ack: int = 0
 
 
 class ULSchedule:

@@ -110,3 +110,19 @@ def test_pusch_with_uci_ri_and_ack():
     # cells sit in the bottom rows), which the turbo code can often absorb —
     # so no negative assertion here; the positive mapping equality above is
     # the meaningful check.
+
+
+def test_uci_beta_offset_tables():
+    """Published 36.213 Table 8.6.3-1/-2 spot values + Q' scaling."""
+    from ltesniffer_tpu.phy import uci
+    assert uci.BETA_ACK[0] == 2.000 and uci.BETA_ACK[10] == 20.000
+    assert uci.BETA_ACK[14] == 126.000
+    assert uci.BETA_RI[0] == 1.250 and uci.BETA_RI[12] == 20.000
+    assert uci.BETA_CQI[2] == 1.125 and uci.BETA_CQI[15] == 6.250
+    # Q' grows with the beta offset and with the ACK count
+    n_ri0, n_ack0 = uci.uci_symbol_counts(1, 0, 0, 0, 10, 2216)
+    n_ri1, n_ack1 = uci.uci_symbol_counts(2, 0, 10, 0, 10, 2216)
+    assert n_ri0 == 0 and 0 < n_ack0 < n_ack1
+    # capped at 4 * M_sc
+    _, n_cap = uci.uci_symbol_counts(20, 0, 14, 0, 1, 16)
+    assert n_cap <= 4 * 12

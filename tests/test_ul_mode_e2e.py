@@ -76,6 +76,76 @@ def test_dci0_to_pusch_chain(tmp_path):
     assert len(ul_recs) == 1 and ul_recs[0]["rnti"] == rnti
 
 
+def test_uci_ack_ri_through_core(tmp_path):
+    """PUSCH carrying multiplexed HARQ-ACK + RI decodes through the core
+    loop: the DCI0's subframe also carries a DL assignment for the same
+    RNTI (-> nof_ack=1, `SubframeWorker.cc:319-337`) and requests aperiodic
+    CSI (-> ri_len=1), so the core must displace RI symbols and puncture
+    ACK cells exactly like the transmitter did."""
+    from ltesniffer_tpu.phy import uci
+    rng = np.random.default_rng(7)
+    rnti = 0x5a5a
+    ul_mcs = 6
+    prb_start, n_prb = 5, 10
+    qm, i_tbs = tables.ul_mcs_to_qm_itbs(ul_mcs)
+    tbs = tables.tbs_lookup(i_tbs, n_prb)
+    tb = rng.integers(0, 2, tbs).astype(np.uint8)
+
+    # the same beta offsets the core will read (default UeConfig)
+    ue_cfg = trackers.UeConfig()
+    n_ri, n_ack = uci.uci_symbol_counts(
+        1, 1, ue_cfg.uci_offset_ack, ue_cfg.uci_offset_ri, n_prb, tbs)
+    assert n_ri > 0 and n_ack > 0
+
+    h_dl = encoder.flat_channel(CELL, 1, rng)
+    dl_frames, ul_frames = [], []
+    at = 2
+    for j in range(10):
+        txs = []
+        if j == at:
+            cands = [c for c in search_space.ue_candidates(
+                rnti, j, _nof_cce()) if c[0] == 2]
+            l0, ncce0 = cands[0]
+            l1, ncce1 = cands[1]
+            txs.append(encoder.TxDci(dci=dci_mod.Dci(
+                fmt="0", rnti=rnti, fields=dict(
+                    flag0_1a=0, hopping=0,
+                    riv=ra.start_len_to_riv(prb_start, n_prb, 50),
+                    mcs=ul_mcs, ndi=1, tpc=0, dmrs_cs=2, cqi_request=1)),
+                L=l0, ncce=ncce0))
+            # DL assignment in the same subframe -> 1 ACK on the PUSCH
+            txs.append(encoder.TxDci(dci=dci_mod.Dci(
+                fmt="1A", rnti=rnti, fields=dict(
+                    flag0_1a=1, vrb_flag=0,
+                    riv=ra.start_len_to_riv(20, 4, 50), mcs=5, harq_pid=1,
+                    ndi=0, rv=0, tpc=0)), L=l1, ncce=ncce1))
+        g = encoder.build_control_subframe(CELL, j, CFI, txs)
+        dl_frames.append(encoder.subframe_iq(
+            CELL, encoder.apply_channel(g, h_dl, 0.04, rng))[0])
+        if j == at + 4:
+            ug = encoder.build_ul_subframe(CELL, j, [dict(
+                rnti=rnti, prb_start=prb_start, n_prb=n_prb, qm=qm,
+                tb_bits=tb, dmrs_field=2, n_ri_syms=n_ri,
+                n_ack_syms=n_ack)])
+        else:
+            ug = np.zeros((1, 14, CELL.n_sc), np.complex64)
+        un = ug + 0.03 / np.sqrt(2) * (rng.standard_normal(ug.shape)
+                                       + 1j * rng.standard_normal(ug.shape))
+        ul_frames.append(encoder.ul_subframe_iq(CELL,
+                                                un.astype(np.complex64))[0])
+
+    cfg = core.SnifferConfig(cell=CELL, batch_size=4,
+                             pcap_path=str(tmp_path / "ul.pcap"))
+    c = core.LTESnifferCoreUL(cfg)
+    c.run_dual_samples(np.concatenate(dl_frames), np.concatenate(ul_frames))
+    c.close()
+    assert len(c.ul_results) == 1
+    r = c.ul_results[0]
+    assert r.rnti == rnti and r.crc_ok, (r.rnti, r.crc_ok, r.snr_db)
+    np.testing.assert_array_equal(
+        np.unpackbits(np.frombuffer(r.payload, np.uint8))[:tbs], tb)
+
+
 def test_ul_table_cascade_learns_16qam(tmp_path):
     """mcs in the 16QAM region: cascade tries 16qam first and learns it."""
     rng = np.random.default_rng(1)
