@@ -94,9 +94,14 @@ class LTESnifferCore:
         self.on_subframe = None   # hook(sf_ctx) for extensions
         self._searchers = {}
         self._mib_synced = False
-        self._mib_attempts = 0
+        self._mib_sf0_seen = 0
         self._sf_dispatched = 0
+        self._seg_base = 0        # dispatch index where the segment began
+        self._seg_sf0 = 0         # sf_idx at the segment start
+        self._low_snr_run = 0     # consecutive low-SNR subframes
+        self.sync_losses = 0
         self.est_cfo = 0.0        # residual CFO (subcarriers), EMA-tracked
+        self.tracker = None       # SubframeTracker when run_stream is used
 
     # ------------------------------------------------------------------
     def _searcher(self, cfi: int):
@@ -112,12 +117,63 @@ class LTESnifferCore:
         samples = iq_mod.read_iq(path)
         return self.run_samples(samples[sf_offset:], sf_idx0, max_subframes)
 
+    def run_stream(self, samples: np.ndarray,
+                   max_subframes: Optional[int] = None,
+                   chunk_subframes: int = 256):
+        """Continuous-stream entry with real timing acquisition: PSS/SSS
+        cell search, PSS-tracked framing with drift correction, and
+        sync-loss recovery (full re-acquire + SFN re-sync from the MIB),
+        the offline analog of the reference's sync loop + DECODE_MIB
+        fallback (`LTESniffer_Core.cc:361-528`)."""
+        win = samples[:min(len(samples), 12 * self.cell.sf_len)]
+        det = sync.find_cell(np.asarray(win), self.cell.n_fft)
+        if det is None:
+            raise RuntimeError("cell search failed: no PSS/SSS found")
+        if det.n_id_cell != self.cell.n_id_cell:
+            raise RuntimeError(
+                f"cell ID mismatch: found {det.n_id_cell}, "
+                f"configured {self.cell.n_id_cell}")
+        self.tracker = sync.SubframeTracker(
+            self.cell, det.subframe_offset, 5 if det.is_subframe5 else 0,
+            cfo=det.cfo)
+        seg: List[np.ndarray] = []
+        seg_sf0 = self.tracker.sf_idx
+        done = 0
+
+        def flush():
+            nonlocal seg
+            if seg:
+                self.run_samples(np.concatenate(seg), sf_idx0=seg_sf0)
+                seg = []
+
+        for sf_idx, frame in self.tracker.frames(samples):
+            if self.tracker.sync_lost:
+                # timing re-acquired after losses: subframe continuity is
+                # broken, so flush and re-acquire the SFN from the MIB
+                flush()
+                seg_sf0 = sf_idx
+                self._mib_synced = False
+                self._mib_sf0_seen = 0
+                self.sync_losses += 1
+                self.tracker.sync_lost = False
+            seg.append(frame)
+            done += 1
+            if len(seg) >= chunk_subframes:
+                flush()
+                seg_sf0 = self.tracker.sf_idx
+            if max_subframes is not None and done >= max_subframes:
+                break
+        flush()
+        return self.results
+
     def run_samples(self, samples: np.ndarray, sf_idx0: int = 0,
                     max_subframes: Optional[int] = None):
         """Pipelined batch driver: batch N+1's device work is dispatched
         before batch N's host-side resolve runs, so the ~25 ms tunnel D2H
         latency overlaps device compute (the TPU analog of the reference's
         sync-thread / worker-pool overlap, `Phy.cc:29-55`)."""
+        self._seg_base = self._sf_dispatched
+        self._seg_sf0 = sf_idx0
         n = self.cell.sf_len
         total = len(samples) // n
         if max_subframes is not None:
@@ -192,8 +248,11 @@ class LTESnifferCore:
                 pass
         base = self._sf_dispatched
         self._sf_dispatched += frames.shape[0]
+        # frame-aligned index: (fbase + i) // 10 counts frame boundaries
+        # exactly at the sf_idx 9 -> 0 wraps of this segment
+        fbase = self._seg_sf0 + (base - self._seg_base)
         return dict(fe=fe, sf_idx=np.asarray(sf_idx), B=frames.shape[0],
-                    base=base, stage=1)
+                    base=base, fbase=fbase, stage=1)
 
     def _phase2(self, ctx: dict):
         """Read fused scalars; group by CFI; dispatch the blind search and
@@ -213,20 +272,38 @@ class LTESnifferCore:
         if good.any():
             est = float(np.mean(cfos[good]))
             self.est_cfo = 0.9 * self.est_cfo + 0.1 * (self.est_cfo + est)
-        # SFN acquisition from the first decodable MIB (subframe 0)
-        if not self._mib_synced and self._mib_attempts < 8:
+        # sync-loss detection: >=5 consecutive low-SNR subframes re-enter
+        # MIB acquisition once signal returns (`LTESniffer_Core.cc:506-525`)
+        for s in snrs:
+            if s < 0.0:
+                self._low_snr_run += 1
+                if self._low_snr_run == 5 and self._mib_synced:
+                    self._mib_synced = False
+                    self._mib_sf0_seen = 0
+                    self.sync_losses += 1
+            else:
+                self._low_snr_run = 0
+        # SFN acquisition from the first decodable MIB (subframe 0).
+        # Attempt every frame for the first 8 frames, then back off to
+        # every 8th frame -- but never give up (the reference retries until
+        # MIB decodes, `LTESniffer_Core.cc:382-418`).
+        if not self._mib_synced:
             for i in range(B):
-                if sf_idx[i] == 0:
-                    self._mib_attempts += 1
+                if sf_idx[i] == 0 and snrs[i] > 0.0:
+                    self._mib_sf0_seen += 1
+                    if (self._mib_sf0_seen > 8
+                            and self._mib_sf0_seen % 8 != 0):
+                        continue
                     with prof.span("p2_mib"):
                         # device-array slices in, (8, 40) bits out: one D2H
                         mib = pbch_rx.decode_mib(
                             fe["grids"][i], fe["h"][i],
                             fe["noise_var"][i], self.cell)
                     if mib.ok:
-                        self.sfn = (mib.sfn - (ctx["base"] + i) // 10) % 1024
+                        self.sfn = (mib.sfn
+                                    - (ctx["fbase"] + i) // 10) % 1024
                         self._mib_synced = True
-                    break
+                        break
         outs: Dict[int, dict] = {}
         pos_in_group = np.zeros(B, dtype=np.int64)
         for c in (1, 2, 3):
@@ -260,7 +337,6 @@ class LTESnifferCore:
         outs = ctx["outs"]
         B = ctx["B"]
         sf_idx = ctx["sf_idx"]
-        base = ctx["base"]
         for c, out in outs.items():
             with prof.span("p3_meta"):
                 out["_host"] = {
@@ -278,7 +354,7 @@ class LTESnifferCore:
             st = out["_st"]
             gi = int(ctx["pos"][i])
             sf = int(sf_idx[i])
-            sfn_i = (self.sfn + (base + i) // 10) % 1024
+            sfn_i = (self.sfn + (ctx["fbase"] + i) // 10) % 1024
             with prof.span("resolve"):
                 accepted = self.search.resolve_subframe(
                     out["_host"], gi, st["locs"], st["nof_cce"], sf,
@@ -746,6 +822,8 @@ class LTESnifferCore:
             "pdsch_ok": ok,
             "harq_skipped": self.harq_skipped,
             "active_rntis": len(self.rm.active_set()),
+            "sync_losses": self.sync_losses,
+            "resyncs": self.tracker.resyncs if self.tracker else 0,
             "search_stats": dataclasses.asdict(self.search.stats),
         }
 

@@ -75,13 +75,6 @@ def find_pss(samples: np.ndarray, n_fft: int) -> PssDetection:
     return PssDetection(offset=off, n_id_2=nid2, peak=score, cfo=cfo)
 
 
-@functools.lru_cache(maxsize=4)
-def _sss_hypotheses() -> np.ndarray:
-    """(336, 62) all SSS sequences: rows [n_id_1 * 2 + is_sf5]... per n_id_2
-    handled by caller (this table is n_id_2-dependent) — see sss_detect."""
-    return None  # built per n_id_2 in sss_detect
-
-
 def sss_detect(samples: np.ndarray, pss: PssDetection, n_fft: int):
     """Detect N_ID_1 and frame half from the symbol preceding the PSS.
 
@@ -146,27 +139,144 @@ def correct_cfo(samples: np.ndarray, cfo_subcarriers: float, n_fft: int) -> np.n
 class SubframeTracker:
     """Frames a continuous stream into subframes, tracking timing via PSS.
 
-    Offline-replay equivalent of srsRAN ue_sync's stream alignment: a PSS
-    re-correlation every 5 ms corrects integer drift; CFO is corrected with
-    a running mixer.  (The reference feeds worker-estimated CFO back into
-    sync, `SubframeWorker.cc:203`; here the tracker owns both.)
+    Offline-replay equivalent of srsRAN ue_sync's stream alignment
+    (`srsran_ue_sync_zerocopy`, `LTESniffer_Core.cc:365`):
+
+    * every PSS-bearing subframe (sf 0 and 5) the tracker re-correlates
+      the cell's PSS replica in a +-`track_win` window around its expected
+      position and corrects integer sample drift;
+    * fractional CFO from each PSS hit feeds a running mixer;
+    * `track_win` misses count as sync losses; after `max_losses`
+      consecutive misses the tracker re-acquires with a full-window PSS
+      search (the offline analog of the reference's 5-loss -> DECODE_MIB
+      fallback, `LTESniffer_Core.cc:506-525`) and flags the event so the
+      core can re-acquire the SFN from the MIB.
     """
 
     def __init__(self, cell: CellConfig, start_offset: int, sf_idx0: int,
-                 cfo: float = 0.0):
+                 cfo: float = 0.0, track_win: int = 32,
+                 peak_threshold: float = 0.25, max_losses: int = 5):
         self.cell = cell
         self.offset = start_offset
         self.sf_idx = sf_idx0
         self.cfo = cfo
+        self.track_win = track_win
+        self.peak_threshold = peak_threshold
+        self.max_losses = max_losses
+        self.consecutive_losses = 0
+        self.resyncs = 0           # full re-acquisitions performed
+        self.drift_corrections = 0
+        self.sync_lost = False     # set while re-acquired timing is fresh:
+        #                            the consumer must re-acquire the SFN
+        self._rep = pss_time_replicas(cell.n_fft)[cell.n_id_cell % 3]
+        self._pss_sym_off = ofdm.symbol_starts(cell.n_fft)[6]
+        self._cfo_obs: list = []
 
+    # -- internals -----------------------------------------------------
+    def _pss_metric(self, seg: np.ndarray) -> float:
+        e = np.linalg.norm(seg) + 1e-12
+        return float(np.abs(np.vdot(self._rep, seg)) / e)
+
+    def _recorrelate(self, samples: np.ndarray, pos: int):
+        """Track PSS around its expected spot; returns drift or None."""
+        n_fft = self.cell.n_fft
+        exp = pos + self._pss_sym_off
+        w = self.track_win
+        lo = max(exp - w, 0)
+        hi = min(exp + w, len(samples) - n_fft)
+        if hi <= lo:
+            return None
+        win = samples[lo:hi + n_fft]
+        corr = np.abs(np.correlate(win, self._rep, mode="valid"))
+        i = int(np.argmax(corr))
+        seg = win[i:i + n_fft]
+        if self._pss_metric(seg) < self.peak_threshold:
+            return None
+        # fractional CFO from the two replica halves: an observation of the
+        # residual left after this chunk's mixer (averaged at chunk end —
+        # every hit in the chunk measures the same residual)
+        half = n_fft // 2
+        c1 = np.vdot(self._rep[:half], seg[:half])
+        c2 = np.vdot(self._rep[half:], seg[half:])
+        self._cfo_obs.append(float(np.angle(c2 * np.conj(c1))
+                                   / (2.0 * np.pi)))
+        return (lo + i) - exp
+
+    def _reacquire(self, samples: np.ndarray, pos: int) -> Optional[int]:
+        """Full-window search after sync loss; returns new subframe start
+        position (>= pos) or None if the stream has no usable PSS left.
+
+        Takes the EARLIEST strong PSS of the cell's own root (not the
+        window argmax) so as few subframes as possible are lost."""
+        n_fft = self.cell.n_fft
+        window = np.asarray(samples[pos:pos + 12 * self.cell.sf_len])
+        if len(window) < 2 * self.cell.sf_len:
+            return None
+        corr = np.abs(np.correlate(window, self._rep, mode="valid"))
+        peak = float(corr.max())
+        if peak <= 0:
+            return None
+        # earliest index within 60% of the global max that verifies
+        cands = np.nonzero(corr > 0.6 * peak)[0]
+        for i in map(int, cands):
+            seg = window[i:i + n_fft]
+            if self._pss_metric(seg) < max(self.peak_threshold, 0.15):
+                continue
+            det = PssDetection(offset=i, n_id_2=self.cell.n_id_cell % 3,
+                               peak=1.0, cfo=0.0)
+            sss = sss_detect(window, det, n_fft)
+            if sss is None:
+                continue
+            n_id_1, is_sf5, _ = sss
+            if 3 * n_id_1 + det.n_id_2 != self.cell.n_id_cell:
+                continue
+            half = n_fft // 2
+            c1 = np.vdot(self._rep[:half], seg[:half])
+            c2 = np.vdot(self._rep[half:], seg[half:])
+            self._cfo_obs.append(float(np.angle(c2 * np.conj(c1))
+                                       / (2.0 * np.pi)))
+            self.sf_idx = 5 if is_sf5 else 0
+            self.sync_lost = True
+            self.resyncs += 1
+            self.consecutive_losses = 0
+            new_pos = pos + i - self._pss_sym_off
+            return new_pos if new_pos >= 0 else None
+        return None
+
+    # -- main loop -------------------------------------------------------
     def frames(self, samples: np.ndarray):
         """Yield (sf_idx, subframe_samples) tuples from the stream."""
         n = self.cell.sf_len
         if abs(self.cfo) > 1e-4:
+            # mix the whole chunk by the running estimate; the residual
+            # observed during this chunk is folded in at chunk end
             samples = correct_cfo(samples, self.cfo, self.cell.n_fft)
+        self._cfo_obs = []
         pos = self.offset
         while pos + n <= len(samples):
+            if self.sf_idx % 5 == 0 and pos >= 0:
+                drift = self._recorrelate(samples, pos)
+                if drift is None:
+                    self.consecutive_losses += 1
+                    if self.consecutive_losses >= self.max_losses:
+                        newpos = self._reacquire(samples, max(pos, 0))
+                        if newpos is None:
+                            break   # nothing decodable left in this chunk
+                        pos = newpos
+                        if pos + n > len(samples):
+                            break
+                else:
+                    self.consecutive_losses = 0
+                    if drift:
+                        self.drift_corrections += 1
+                        pos += drift
+                        if pos < 0 or pos + n > len(samples):
+                            pos = max(pos, 0)
+                            if pos + n > len(samples):
+                                break
             yield self.sf_idx, samples[pos:pos + n]
             self.sf_idx = (self.sf_idx + 1) % 10
             pos += n
         self.offset = pos - len(samples)
+        if self._cfo_obs:
+            self.cfo += float(np.mean(self._cfo_obs))

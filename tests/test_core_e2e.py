@@ -99,3 +99,41 @@ def test_sfn_acquired_from_mib(tmp_path):
     c.close()
     assert c._mib_synced
     assert c.sfn == 320
+
+
+def test_run_stream_gap_recovery_and_sfn_resync(tmp_path):
+    """Continuous-stream entry: a mid-stream gap breaks timing; the tracker
+    re-acquires, the core re-enters MIB acquisition, and tail subframes
+    still decode with correct SFN labels (`LTESniffer_Core.cc:506-525`)."""
+    sb = scenario.ScenarioBuilder(CELL, seed=11, noise=0.04)
+    pdu = mac.build_mac_pdu([mac.MacSubPdu(lcid=3, payload=b"tail-traffic")])
+    rnti = 0x3c3c
+    n_sf = 80
+    for j in range(n_sf):
+        sf = j % 10
+        txs = []
+        if j >= 2 and sf not in (0, 5):
+            txs.append(scenario.DlTx(rnti=rnti, mac_pdu=pdu, n_prb=10,
+                                     prb_start=20, harq_pid=j % 8,
+                                     ndi=(j // 8) % 2))
+        sb.add_subframe(sf, txs, with_pbch_sfn=100 + j // 10
+                        if sf == 0 else None)
+    stream = sb.stream()
+    # cut 2.5 subframes mid-stream (inside subframe 24)
+    cut = CELL.sf_len * 24 + 500
+    stream = np.concatenate([stream[:cut],
+                             stream[cut + int(CELL.sf_len * 2.5):]])
+    c, cfg = _mk_core(tmp_path)
+    c.run_stream(stream)
+    c.close()
+    s = c.summary()
+    assert s["resyncs"] >= 1
+    assert c._mib_synced            # SFN re-acquired after the gap
+    # traffic decodes on both sides of the gap
+    oks = [r for r in c.results if r.crc_ok and r.dci.rnti == rnti]
+    assert len(oks) >= 20, len(oks)
+    recs = pcap.read_pcap(cfg.pcap_path)
+    tail = [r for r in recs if r.get("rnti") == rnti and r["sfn"] >= 103]
+    assert tail, "no tail records after resync"
+    # tail SFN labels are consistent with the transmitted MIB counter
+    assert all(103 <= r["sfn"] <= 108 for r in tail)

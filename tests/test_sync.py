@@ -104,3 +104,50 @@ def test_chest_cfo_estimate_and_core_feedback():
     c = core.LTESnifferCore(cfg)
     c.run_samples(stream)
     assert abs(c.est_cfo - eps) < 0.015
+
+
+# ---------------------------------------------------------------- tracking
+def test_tracker_corrects_timing_drift():
+    """Samples dropped mid-stream (integer drift): the PSS re-correlation
+    at the next sf0/5 re-aligns framing within the tracking window."""
+    cell = CellConfig(n_id_cell=123, n_prb=25, nof_ports=2)
+    rng = np.random.default_rng(7)
+    stream = _stream(cell, range(0, 30), rng, lead=0)
+    # drop 9 samples inside subframe 12 (not PSS-bearing)
+    cut = cell.sf_len * 12 + 1000
+    stream = np.concatenate([stream[:cut], stream[cut + 9:]])
+    tr = sync.SubframeTracker(cell, 0, 0)
+    frames = list(tr.frames(stream))
+    assert tr.drift_corrections >= 1
+    assert tr.resyncs == 0
+    # the last PSS-bearing frame must be cleanly aligned
+    sf_idx, f = [x for x in frames if x[0] in (0, 5)][-1]
+    from ltesniffer_tpu.kernels import ofdm
+    off = ofdm.symbol_starts(cell.n_fft)[6]
+    rep = sync.pss_time_replicas(cell.n_fft)[cell.n_id_cell % 3]
+    seg = f[off:off + cell.n_fft]
+    m = abs(np.vdot(rep, seg)) / (np.linalg.norm(seg) + 1e-12)
+    assert m > 0.8, m
+
+
+def test_tracker_reacquires_after_gap():
+    """A gap far larger than the tracking window forces 5 PSS misses and a
+    full re-acquisition (reference 5-loss -> DECODE_MIB analog)."""
+    cell = CellConfig(n_id_cell=123, n_prb=25, nof_ports=2)
+    rng = np.random.default_rng(8)
+    stream = _stream(cell, range(0, 60), rng, lead=0)
+    cut = cell.sf_len * 14 + 321
+    gap = int(cell.sf_len * 2.5)
+    stream = np.concatenate([stream[:cut], stream[cut + gap:]])
+    tr = sync.SubframeTracker(cell, 0, 0)
+    frames = list(tr.frames(stream))
+    assert tr.resyncs >= 1
+    # after re-acquisition the sf_idx labels follow the transmitted pattern
+    tail = [x for x in frames if x[0] in (0, 5)][-1]
+    sf_idx, f = tail
+    from ltesniffer_tpu.kernels import ofdm
+    off = ofdm.symbol_starts(cell.n_fft)[6]
+    rep = sync.pss_time_replicas(cell.n_fft)[cell.n_id_cell % 3]
+    seg = f[off:off + cell.n_fft]
+    m = abs(np.vdot(rep, seg)) / (np.linalg.norm(seg) + 1e-12)
+    assert m > 0.8, m
