@@ -505,6 +505,7 @@ class LTESnifferCore:
             b=gi, sf_idx=sf, cfi=cfi, rnti=a.rnti, prb_mask=grant.prb_mask,
             qm=qm, tbs=tbs, rv=grant.rv,
             prb_mask_slot1=grant.prb_mask_slot1, harq_key=harq_key,
+            is_retx=is_retx,
             tag=dict(a=a, grant=grant, sfn=sfn, sf=sf, is_retx=is_retx,
                      table=table, known=known, is_special=is_special))
 

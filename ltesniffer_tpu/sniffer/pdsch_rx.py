@@ -177,9 +177,12 @@ def _decode_tb_from_llrs(llr, rnti, tbs, qm, rv, n_re, soft_buffers,
             d[1, :F] = 1e4
         off += E
         if soft_buffers is not None and harq_key is not None:
-            # buffers may be device arrays (stored by the batch path)
+            # buffers may be device arrays (stored by the batch path);
+            # a K mismatch means the TBS changed since the buffer was
+            # stored -> the stored soft bits are invalid (`HARQ.cc:71-130`)
             prev = soft_buffers.get((harq_key, ci_))
-            d = d if prev is None else np.asarray(prev) + d
+            if prev is not None and tuple(prev.shape) == d.shape:
+                d = np.asarray(prev) + d
             soft_buffers[(harq_key, ci_)] = d
             d = d.copy()
         d_llrs.append(d)
@@ -229,6 +232,7 @@ class GrantJob:
     rv: int = 0
     prb_mask_slot1: Optional[np.ndarray] = None
     harq_key: Optional[Tuple] = None
+    is_retx: bool = False       # HARQ: combine with the stored soft buffer
     tag: object = None          # caller cookie (e.g. the AcceptedDci)
 
 
@@ -356,9 +360,13 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
     base_acc = 0
     for (qm, n_pad), jis in groups.items():
         G = len(jis)
-        bidx = np.asarray([jobs[ji].b for ji in jis], np.int32)
-        idx = np.zeros((G, n_pad), np.int32)
-        cinit = np.zeros(G, np.uint32)
+        # pad the grant count to a power of two: bounds the number of
+        # compiled (G, n_pad, qm) shape variants under varying cell load
+        G_pad = _pow2(G, 4)
+        bidx = np.zeros(G_pad, np.int32)
+        bidx[:G] = [jobs[ji].b for ji in jis]
+        idx = np.zeros((G_pad, n_pad), np.int32)
+        cinit = np.zeros(G_pad, np.uint32)
         for row, ji in enumerate(jis):
             re_idx = meta[ji]
             idx[row, :len(re_idx)] = re_idx
@@ -369,15 +377,20 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
             base_of[ji] = base_acc + row * (n_pad * qm)
         fn = _eq_demap_batch_fn(cell, qm, n_pad, cell.nof_ports >= 2)
         out = fn(gflat, hflat, noise_var, jnp.asarray(bidx),
-                 jnp.asarray(idx), jnp.asarray(cinit))      # (G, n_pad*qm)
+                 jnp.asarray(idx), jnp.asarray(cinit))   # (G_pad, n_pad*qm)
         flat_parts.append(out.reshape(-1))
-        base_acc += G * n_pad * qm
+        base_acc += G_pad * n_pad * qm
     n_re_of = {ji: len(meta[ji]) for ji in range(len(jobs))
                if results[ji] is None}
     if not flat_parts:
         return PendingPdschBatch(jobs, results, {}, [], None, [], n_re_of)
     flat = (jnp.concatenate(flat_parts) if len(flat_parts) > 1
             else flat_parts[0])
+    # pad the flat LLR pool to a power of two: the per-K decode fns take it
+    # as an argument, so its length is part of their compile key
+    flat_pad = _pow2(int(flat.shape[0]), 1 << 14)
+    if flat_pad != flat.shape[0]:
+        flat = jnp.pad(flat, (0, flat_pad - int(flat.shape[0])))
 
     # --- collect code blocks, grouped by K ------------------------------
     seg_of: Dict[int, object] = {}
@@ -396,7 +409,8 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
                           if soft_buffers is not None and j.harq_key is not None
                           else None)
                 by_k.setdefault(K, []).append(
-                    (ji, ci_, F, E, base_of[ji] + off, j.rv, key_ci))
+                    (ji, ci_, F, E, base_of[ji] + off, j.rv, key_ci,
+                     j.is_retx))
                 off += E
 
     # --- per-K device dispatch (bucketed shapes) -------------------------
@@ -414,23 +428,36 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
         # combine sequentially with zero extra D2H (the old host path's
         # `buf += d` semantics, batched).
         occ_of: Dict = {}
+        occ_round: Dict[int, int] = {}
         rounds: List[list] = []
         for r in rows:
             o = 0
             if r[6] is not None:
                 o = occ_of.get(r[6], 0)
                 occ_of[r[6]] = o + 1
+            occ_round[id(r)] = o
             while len(rounds) <= o:
                 rounds.append([])
             rounds[o].append(r)
+        def _usable_prior(r):
+            # Combine only actual retransmissions (round 0) or in-batch
+            # chain continuations (round > 0, any kind: the earlier
+            # occurrence already stored this TX's buffer), and only when
+            # the stored buffer's K matches — a TBS change invalidates the
+            # stored soft bits (reference stored-TBS rule, `HARQ.cc:71-130`).
+            if r[6] is None or r[6] not in soft_buffers:
+                return False
+            if not r[7] and occ_round.get(id(r), 0) == 0:
+                return False
+            return tuple(soft_buffers[r[6]].shape) == (3, K + 4)
+
         def _subsets():
             # lazy: the prior check for round r must run AFTER round r-1's
             # dispatch stored its combined buffers into `soft_buffers`
             for rnd in rounds:
                 fresh, withp = [], []
                 for r in rnd:
-                    (withp if (r[6] is not None and r[6] in soft_buffers)
-                     else fresh).append(r)
+                    (withp if _usable_prior(r) else fresh).append(r)
                 yield fresh, False
                 yield withp, True
         for sub, has_prior in _subsets():
@@ -442,7 +469,7 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
             F_arr = np.zeros(n_b, np.int32)
             pos = np.full((n_b, e_max), -1, np.int32)
             priors = []
-            for r_i, (ji, ci_, F, E, start, rv, key_ci) in enumerate(sub):
+            for r_i, (ji, ci_, F, E, start, rv, key_ci, _rt) in enumerate(sub):
                 starts[r_i] = start
                 F_arr[r_i] = F
                 pos[r_i, :E] = turbo_mod.derm_positions(K, F, E, rv)
@@ -459,7 +486,7 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
                 fused, d = fn(flat, jnp.asarray(starts), jnp.asarray(pos),
                               jnp.asarray(F_arr))
             # store combined LLRs as the new HARQ soft buffers (device)
-            for r_i, (ji, ci_, F, E, start, rv, key_ci) in enumerate(sub):
+            for r_i, (ji, ci_, F, E, start, rv, key_ci, _rt) in enumerate(sub):
                 if key_ci is not None:
                     d_row = d[r_i]
                     soft_buffers[key_ci] = d_row

@@ -57,7 +57,13 @@ class ScenarioBuilder:
         self.truth: List[dict] = []
 
     def add_subframe(self, sf_idx: int, dl_txs: Sequence[DlTx] = (),
-                     with_pbch_sfn: Optional[int] = None):
+                     with_pbch_sfn: Optional[int] = None,
+                     strict: bool = True) -> int:
+        """Encode one subframe.  With strict=False, transmissions whose DCI
+        cannot be placed (all search-space candidates already used) are
+        skipped instead of raising — loaded-cell scenarios hit real CCE
+        contention just like a real scheduler.  Returns the number of
+        transmissions actually placed."""
         cell = self.cell
         tx_dcis = []
         pdsch_jobs = []
@@ -88,7 +94,9 @@ class ScenarioBuilder:
                         placed = True
                         break
                 if not placed:
-                    raise ValueError("no free CCEs")
+                    if strict:
+                        raise ValueError("no free CCEs")
+                    continue
             else:
                 used_cce.update(range(ncce, ncce + (1 << L)))
             riv = ra.start_len_to_riv(t.prb_start, t.n_prb, cell.n_prb)
@@ -117,6 +125,7 @@ class ScenarioBuilder:
                               rv=rv)
         rxg = encoder.apply_channel(g, self.h, self.noise, self.rng)
         self.subframes.append(encoder.subframe_iq(cell, rxg)[0])
+        return len(tx_dcis)
 
     def _nof_cce(self):
         from ltesniffer_tpu.phy import grid as grid_mod
