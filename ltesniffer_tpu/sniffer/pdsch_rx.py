@@ -23,12 +23,35 @@ import numpy as np
 from ltesniffer_tpu.phy import crc, pdsch as pdsch_mod, sequences, turbo as turbo_mod
 from ltesniffer_tpu.phy.params import CellConfig
 from ltesniffer_tpu.kernels import chest, cplx, demapper, turbo as kturbo
+from ltesniffer_tpu.sniffer import prof
 
 RE_BUCKET = 256
 
 
 def _bucket(n: int) -> int:
     return -(-n // RE_BUCKET) * RE_BUCKET
+
+
+class LazyRow:
+    """A HARQ soft buffer stored as (parent device array, row) — slicing a
+    row out of the batched decode output would enqueue one tiny device op
+    per grant (hundreds per batch over the tunnel); instead the row is
+    materialized only when a retransmission actually combines with it."""
+    __slots__ = ("arr", "i")
+
+    def __init__(self, arr, i):
+        self.arr, self.i = arr, i
+
+    @property
+    def shape(self):
+        return tuple(self.arr.shape[1:])
+
+    def get(self):
+        return self.arr[self.i]
+
+
+def _buffer_value(v):
+    return v.get() if isinstance(v, LazyRow) else jnp.asarray(v)
 
 
 @functools.lru_cache(maxsize=64)
@@ -182,7 +205,7 @@ def _decode_tb_from_llrs(llr, rnti, tbs, qm, rv, n_re, soft_buffers,
             # stored -> the stored soft bits are invalid (`HARQ.cc:71-130`)
             prev = soft_buffers.get((harq_key, ci_))
             if prev is not None and tuple(prev.shape) == d.shape:
-                d = np.asarray(prev) + d
+                d = np.asarray(_buffer_value(prev)) + d
             soft_buffers[(harq_key, ci_)] = d
             d = d.copy()
         d_llrs.append(d)
@@ -326,7 +349,6 @@ class PendingPdschBatch:
     seg_of: Dict[int, object]
     group_rows: list          # [(K, Wk, [(ji, ci, F), ...]), ...] row order
     fused_dev: object         # (N_rows, 1 + W_max) u32 device array
-    buf_store: list           # [(key_ci, d_dev_row)] HARQ buffers to keep
     n_re_of: Dict[int, int] = dataclasses.field(default_factory=dict)
 
 
@@ -344,6 +366,7 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
     results: List[Optional[PdschResult]] = [None] * len(jobs)
     meta = []
     groups: Dict[Tuple[int, int], List[int]] = {}
+    _t0 = prof.time.perf_counter()
     for ji, j in enumerate(jobs):
         re_idx = pdsch_mod.grant_re_indices(cell, j.sf_idx, j.cfi,
                                             j.prb_mask, j.prb_mask_slot1)
@@ -352,6 +375,7 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
             results[ji] = PdschResult(j.rnti, j.tbs, False, None, [], [], 0)
             continue
         groups.setdefault((j.qm, _bucket(len(re_idx))), []).append(ji)
+    prof.add("pd_re_idx", prof.time.perf_counter() - _t0)
     gflat = grids.reshape(grids.shape[0], grids.shape[1], -1, 2)
     hflat = h.reshape(h.shape[0], h.shape[1], h.shape[2], -1, 2)
     # --- eq/demap per group; outputs stay on device --------------------
@@ -376,14 +400,15 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
                                                     cell.n_id_cell)
             base_of[ji] = base_acc + row * (n_pad * qm)
         fn = _eq_demap_batch_fn(cell, qm, n_pad, cell.nof_ports >= 2)
-        out = fn(gflat, hflat, noise_var, jnp.asarray(bidx),
-                 jnp.asarray(idx), jnp.asarray(cinit))   # (G_pad, n_pad*qm)
+        with prof.span("pd_eqdemap_call"):
+            out = fn(gflat, hflat, noise_var, jnp.asarray(bidx),
+                     jnp.asarray(idx), jnp.asarray(cinit))
         flat_parts.append(out.reshape(-1))
         base_acc += G_pad * n_pad * qm
     n_re_of = {ji: len(meta[ji]) for ji in range(len(jobs))
                if results[ji] is None}
     if not flat_parts:
-        return PendingPdschBatch(jobs, results, {}, [], None, [], n_re_of)
+        return PendingPdschBatch(jobs, results, {}, [], None, n_re_of)
     flat = (jnp.concatenate(flat_parts) if len(flat_parts) > 1
             else flat_parts[0])
     # pad the flat LLR pool to a power of two: the per-K decode fns take it
@@ -393,6 +418,7 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
         flat = jnp.pad(flat, (0, flat_pad - int(flat.shape[0])))
 
     # --- collect code blocks, grouped by K ------------------------------
+    _t1 = prof.time.perf_counter()
     seg_of: Dict[int, object] = {}
     by_k: Dict[int, list] = {}     # K -> [(ji, ci, F, E, start, prior_key)]
     for (qm, n_pad), jis in groups.items():
@@ -413,10 +439,10 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
                      j.is_retx))
                 off += E
 
+    prof.add("pd_collect_cb", prof.time.perf_counter() - _t1)
     # --- per-K device dispatch (bucketed shapes) -------------------------
     group_rows = []
     fused_parts = []
-    buf_store = []
     w_max = max(((K + 31) // 32) for K in by_k) if by_k else 0
     for K, rows in sorted(by_k.items()):
         Wk = (K + 31) // 32
@@ -465,6 +491,7 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
                 continue
             n_b = _pow2(len(sub), 4)
             e_max = _pow2(max(r[3] for r in sub), 256)
+            _t2 = prof.time.perf_counter()
             starts = np.zeros(n_b, np.int32)
             F_arr = np.zeros(n_b, np.int32)
             pos = np.full((n_b, e_max), -1, np.int32)
@@ -474,23 +501,24 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
                 F_arr[r_i] = F
                 pos[r_i, :E] = turbo_mod.derm_positions(K, F, E, rv)
                 if has_prior:
-                    priors.append(jnp.asarray(soft_buffers[key_ci]))
+                    priors.append(_buffer_value(soft_buffers[key_ci]))
+            prof.add("pd_pos_build", prof.time.perf_counter() - _t2)
             fn = _derm_turbo_fn(K, e_max, n_b, has_prior, n_iter)
-            if has_prior:
-                while len(priors) < n_b:
-                    priors.append(np.zeros((3, K + 4), np.float32))
-                prior = jnp.stack(priors)
-                fused, d = fn(flat, jnp.asarray(starts), jnp.asarray(pos),
-                              jnp.asarray(F_arr), prior)
-            else:
-                fused, d = fn(flat, jnp.asarray(starts), jnp.asarray(pos),
-                              jnp.asarray(F_arr))
-            # store combined LLRs as the new HARQ soft buffers (device)
+            with prof.span("pd_turbo_call"):
+                if has_prior:
+                    while len(priors) < n_b:
+                        priors.append(np.zeros((3, K + 4), np.float32))
+                    prior = jnp.stack(priors)
+                    fused, d = fn(flat, jnp.asarray(starts), jnp.asarray(pos),
+                                  jnp.asarray(F_arr), prior)
+                else:
+                    fused, d = fn(flat, jnp.asarray(starts), jnp.asarray(pos),
+                                  jnp.asarray(F_arr))
+            # store combined LLRs as the new HARQ soft buffers: lazy
+            # (parent array, row) refs — zero device ops here
             for r_i, (ji, ci_, F, E, start, rv, key_ci, _rt) in enumerate(sub):
                 if key_ci is not None:
-                    d_row = d[r_i]
-                    soft_buffers[key_ci] = d_row
-                    buf_store.append((key_ci, d_row))
+                    soft_buffers[key_ci] = LazyRow(d, r_i)
             if Wk < w_max:
                 fused = jnp.pad(fused, ((0, 0), (0, w_max - Wk)))
             fused_parts.append(fused[:len(sub)])
@@ -503,7 +531,7 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
         except Exception:
             pass
     return PendingPdschBatch(jobs, results, seg_of, group_rows, fused_dev,
-                             buf_store, n_re_of)
+                             n_re_of)
 
 
 def finish_grants_batch(pb: PendingPdschBatch,
@@ -514,7 +542,9 @@ def finish_grants_batch(pb: PendingPdschBatch,
     jobs, results = pb.jobs, pb.results
     if pb.fused_dev is None:
         return results
-    host = np.asarray(pb.fused_dev)            # ONE D2H for the whole batch
+    with prof.span("pf_d2h"):
+        host = np.asarray(pb.fused_dev)        # ONE D2H for the whole batch
+    _t3 = prof.time.perf_counter()
     bits_of: Dict[Tuple[int, int], np.ndarray] = {}
     rem_of: Dict[Tuple[int, int], int] = {}
     shifts = np.arange(32, dtype=np.uint32)
@@ -554,6 +584,7 @@ def finish_grants_batch(pb: PendingPdschBatch,
                 soft_buffers.pop((j.harq_key, ci_), None)
         results[ji] = PdschResult(j.rnti, j.tbs, bool(tb_ok), tb_bits,
                                   cb_ok, [], pb.n_re_of.get(ji, 0))
+    prof.add("pf_assemble", prof.time.perf_counter() - _t3)
     return results
 
 

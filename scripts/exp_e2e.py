@@ -34,7 +34,9 @@ for j in range(N_SF):
         txs.append(scenario.DlTx(rnti=r, mac_pdu=pdu, n_prb=8,
                                  prb_start=g * 8, harq_pid=pid,
                                  ndi=ndi[key]))
-    placed_total += sb.add_subframe(sf, txs, strict=False)
+    placed_total += sb.add_subframe(
+        sf, txs, strict=False,
+        with_pbch_sfn=j // 10 if sf == 0 else None)
 t1 = time.perf_counter()
 print(f"gen: {N_SF} sf with {GRANTS} grants/sf in {t1-t0:.1f}s "
       f"({(t1-t0)/N_SF*1000:.0f} ms/sf), placed {placed_total}")
@@ -42,7 +44,7 @@ print(f"gen: {N_SF} sf with {GRANTS} grants/sf in {t1-t0:.1f}s "
 stream = sb.stream()
 print("stream MB:", stream.nbytes / 1e6)
 
-cfg = core.SnifferConfig(cell=CELL, batch_size=32)
+cfg = core.SnifferConfig(cell=CELL, batch_size=int(sys.argv[4]) if len(sys.argv) > 4 else 32)
 c = core.LTESnifferCore(cfg)
 t2 = time.perf_counter()
 c.run_samples(stream)
