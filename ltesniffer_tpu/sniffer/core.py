@@ -45,6 +45,10 @@ class SnifferConfig:
     max_harq_retx_buffers: int = 4096
     use_native: bool = True   # C++ resolver/RNTI manager when available
     ingest_int16: bool = True  # quantized-IQ H2D (halves transfer bytes)
+    dci_trace_path: Optional[str] = None   # tab-separated per-DCI trace
+    mcs_csv_path: Optional[str] = None     # mcs_statistic.csv on close()
+    heartbeat: bool = False                # per-1000-subframe progress line
+    table_every_s: float = 0.0             # >0: periodic DL/UL tables
 
 
 @dataclasses.dataclass
@@ -102,6 +106,31 @@ class LTESnifferCore:
         self.sync_losses = 0
         self.est_cfo = 0.0        # residual CFO (subcarriers), EMA-tracked
         self.tracker = None       # SubframeTracker when run_stream is used
+        self.stop_requested = False   # SIGINT gate (`SignalManager.h:41-56`)
+        from . import observability as obs_mod
+        self.heartbeat = obs_mod.Heartbeat() if cfg.heartbeat else None
+        self.dci_trace = (obs_mod.DciTraceFile(cfg.dci_trace_path)
+                          if cfg.dci_trace_path else None)
+        self._last_table_t = time.monotonic()
+
+    # ------------------------------------------------------------------
+    def request_stop(self):
+        """Graceful-stop gate: the batch loops drain in-flight work, then
+        return; pcap/trace files are flushed by close().  The reference's
+        SIGINT path (`SignalManager.cc`, `LTESniffer_Core.cc:540-556`)."""
+        self.stop_requested = True
+
+    def _tick_observers(self, n_subframes: int):
+        if self.heartbeat is not None:
+            self.heartbeat.tick(n_subframes)
+        if self.cfg.table_every_s > 0:
+            now = time.monotonic()
+            if now - self._last_table_t >= self.cfg.table_every_s:
+                self._last_table_t = now
+                from . import observability as obs_mod
+                print(obs_mod.format_dl_table(self.mcs, self.rm))
+                if self.mcs.stats_ul:
+                    print(obs_mod.format_ul_table(self.mcs))
 
     # ------------------------------------------------------------------
     def _searcher(self, cfi: int):
@@ -147,6 +176,8 @@ class LTESnifferCore:
                 seg = []
 
         for sf_idx, frame in self.tracker.frames(samples):
+            if self.stop_requested:
+                break
             if self.tracker.sync_lost:
                 # timing re-acquired after losses: subframe continuity is
                 # broken, so flush and re-acquire the SFN from the MIB
@@ -187,6 +218,8 @@ class LTESnifferCore:
         from collections import deque
         q: deque = deque()
         for a in range(0, total, self.cfg.batch_size):
+            if self.stop_requested:
+                break
             b = min(a + self.cfg.batch_size, total)
             blk = frames[a:b]
             if scale is None and abs(self.est_cfo) > 2e-3:
@@ -379,6 +412,7 @@ class LTESnifferCore:
         pending = []
         for (i, c, gi, sf, sfn_i, accepted) in resolved:
             out = outs[c]
+            self._count_rb_collisions(accepted)
             if self.cfg.decode_pdsch:
                 # DL DCIs first so UL DCI0s can match ACK counts against
                 # this subframe's DL assignments (`SubframeWorker.cc:319-337`)
@@ -423,6 +457,7 @@ class LTESnifferCore:
         """Read the fused PDSCH results; retries, handlers, pcap, stats."""
         with prof.span("pdsch_finish"):
             self._finish_pending(ctx.get("pdsch") or [])
+        self._tick_observers(ctx["B"])
         ctx["stage"] = 4
 
     def _materialize_payloads(self, outs: Dict[int, dict], refs):
@@ -447,6 +482,43 @@ class LTESnifferCore:
                                                     a.payload.nbits)
 
     # ------------------------------------------------------------------
+    def _count_rb_collisions(self, accepted) -> None:
+        """Per-subframe RB-allocation overlap detection.
+
+        Mirrors the reference's merged RB map (`DCICollection.cc:214-292`):
+        each accepted DL grant's slot-0 PRBs and each UL grant's contiguous
+        PRBs are painted into per-direction maps; any overlap marks the
+        subframe as colliding (`DCISearch.cc:512-519` increments the
+        per-subframe counters once per direction)."""
+        if not accepted:
+            return
+        n = self.cell.n_prb
+        dl_map = np.zeros(n, bool)
+        ul_map = np.zeros(n, bool)
+        dl_col = ul_col = False
+        for a in accepted:
+            if isinstance(a.payload, dci_search.PayloadRef):
+                continue   # not materialized (decode_pdsch off): skip
+            try:
+                d = dci_mod.unpack(a.payload, a.fmt, self.cell, rnti=a.rnti)
+                if a.fmt == "0":
+                    g = dci_mod.ul_grant_from_dci(d, self.cell)
+                    span = slice(g.prb_start, g.prb_start + g.n_prb)
+                    if ul_map[span].any():
+                        ul_col = True
+                    ul_map[span] = True
+                else:
+                    g = dci_mod.dl_grant_from_dci(d, self.cell)
+                    if (dl_map & g.prb_mask).any():
+                        dl_col = True
+                    dl_map |= g.prb_mask
+            except Exception:
+                continue
+        if dl_col:
+            self.search.stats.nof_subframe_collisions_dl += 1
+        if ul_col:
+            self.search.stats.nof_subframe_collisions_ul += 1
+
     def _handle_ul_dci(self, a: dci_search.AcceptedDci, sfn: int, sf: int,
                        nof_ack: int = 0):
         d = dci_mod.unpack(a.payload, "0", self.cell, rnti=a.rnti)
