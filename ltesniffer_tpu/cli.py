@@ -40,13 +40,24 @@ def build_parser() -> argparse.ArgumentParser:
                    help="RNTI histogram threshold")
     p.add_argument("-B", "--batch", type=int, default=32,
                    help="subframes per TPU batch")
-    p.add_argument("--sync", action="store_true",
-                   help="run PSS/SSS sync to align the trace (else assume "
-                   "the file starts at a subframe boundary)")
+    p.add_argument("--sync", nargs="?", const="stream",
+                   choices=("stream", "once"), default=None,
+                   help="run PSS/SSS sync to align the trace: 'stream' "
+                   "(default) tracks PSS continuously with drift correction "
+                   "and re-acquire, 'once' does a one-shot alignment (else "
+                   "assume the file starts at a subframe boundary)")
     p.add_argument("--no-pdsch", action="store_true",
                    help="DCI/RNTI search only (no PDSCH decode)")
     p.add_argument("--stats-json", default=None,
                    help="write summary stats to this JSON file")
+    p.add_argument("--heartbeat", action="store_true",
+                   help="print the per-1000-subframe progress heartbeat")
+    p.add_argument("--tables", type=float, default=0.0, metavar="SEC",
+                   help="print per-RNTI DL/UL tables every SEC seconds")
+    p.add_argument("-D", "--dci-trace", default=None, metavar="PATH",
+                   help="write tab-separated per-DCI trace lines to PATH")
+    p.add_argument("--csv", default=None, metavar="PATH",
+                   help="write mcs_statistic.csv-style stats to PATH on exit")
     return p
 
 
@@ -68,7 +79,10 @@ def main(argv=None) -> int:
     n_fft = CellConfig(n_id_cell=0, n_prb=args.prb).n_fft
     sf_idx0 = 0
     cell_id = args.cell_id
-    if args.sync or cell_id is None:
+    use_stream = args.sync == "stream" and not args.ul_input
+    if (args.sync == "once" or (args.sync and args.ul_input)
+            or (cell_id is None and not use_stream)):
+        # one-shot alignment: global CFO mix + fixed framing
         sr = sync_mod.find_cell(samples[:20 * 15360 * n_fft // 1024], n_fft)
         if sr is None:
             print("[cli] no cell found in trace", file=sys.stderr)
@@ -83,6 +97,13 @@ def main(argv=None) -> int:
         samples = sync_mod.correct_cfo(samples[sr.subframe_offset:],
                                        sr.cfo, n_fft)
         sf_idx0 = 5 if sr.is_subframe5 else 0
+    elif use_stream and cell_id is None:
+        sr = sync_mod.find_cell(samples[:20 * 15360 * n_fft // 1024], n_fft)
+        if sr is None:
+            print("[cli] no cell found in trace", file=sys.stderr)
+            return 2
+        print(f"[cli] cell search: PCI={sr.n_id_cell} peak={sr.peak:.2f}")
+        cell_id = sr.n_id_cell
 
     cell = CellConfig(n_id_cell=cell_id, n_prb=args.prb,
                       nof_ports=args.ports, nof_rx_ant=args.rx_antennas)
@@ -92,7 +113,11 @@ def main(argv=None) -> int:
                              api_pcap_path=args.api_output,
                              histogram_threshold=args.threshold,
                              decode_pdsch=not args.no_pdsch,
-                             api_mode=api_mode)
+                             api_mode=api_mode,
+                             heartbeat=args.heartbeat,
+                             table_every_s=args.tables,
+                             dci_trace_path=args.dci_trace,
+                             mcs_csv_path=args.csv)
     t0 = time.time()
     if args.ul_input:
         if not os.path.exists(args.ul_input):
@@ -101,12 +126,34 @@ def main(argv=None) -> int:
             return 2
         ul = iq_mod.read_iq(args.ul_input)
         sniffer = core.LTESnifferCoreUL(cfg)
-        sniffer.run_dual_samples(samples, ul, sf_idx0=sf_idx0,
-                                 max_subframes=args.nof_subframes)
+        run = lambda: sniffer.run_dual_samples(  # noqa: E731
+            samples, ul, sf_idx0=sf_idx0, max_subframes=args.nof_subframes)
     else:
         sniffer = core.LTESnifferCore(cfg)
-        sniffer.run_samples(samples, sf_idx0=sf_idx0,
-                            max_subframes=args.nof_subframes)
+        if use_stream:
+            # continuous PSS tracking with drift correction + re-acquire
+            # (`LTESniffer_Core.cc:361-528` sync loop analog)
+            run = lambda: sniffer.run_stream(  # noqa: E731
+                samples, max_subframes=args.nof_subframes)
+        else:
+            run = lambda: sniffer.run_samples(  # noqa: E731
+                samples, sf_idx0=sf_idx0, max_subframes=args.nof_subframes)
+
+    # SIGINT -> graceful stop: drain in-flight batches, flush pcap/trace
+    # (`SignalManager.cc` + `LTESniffer_Core.cc:540-556`)
+    import signal
+
+    def _on_sigint(signum, frame):
+        print("\n[cli] SIGINT: stopping (second ^C force-quits)...",
+              file=sys.stderr)
+        sniffer.request_stop()
+        signal.signal(signal.SIGINT, signal.default_int_handler)
+
+    old_handler = signal.signal(signal.SIGINT, _on_sigint)
+    try:
+        run()
+    finally:
+        signal.signal(signal.SIGINT, old_handler)
     dt = time.time() - t0
     sniffer.close()
     s = sniffer.summary()

@@ -413,6 +413,8 @@ class LTESnifferCore:
         for (i, c, gi, sf, sfn_i, accepted) in resolved:
             out = outs[c]
             self._count_rb_collisions(accepted)
+            if self.dci_trace is not None and accepted:
+                self.dci_trace.write(accepted)
             if self.cfg.decode_pdsch:
                 # DL DCIs first so UL DCI0s can match ACK counts against
                 # this subframe's DL assignments (`SubframeWorker.cc:319-337`)
@@ -482,6 +484,25 @@ class LTESnifferCore:
                                                     a.payload.nbits)
 
     # ------------------------------------------------------------------
+    def _unpack_dci(self, a: dci_search.AcceptedDci):
+        """Unpack a DCI once per accepted candidate and cache the result
+        (collision counting + handlers share it)."""
+        d = getattr(a, "_dci", None)
+        if d is None:
+            d = dci_mod.unpack(a.payload, a.fmt, self.cell, rnti=a.rnti)
+            a._dci = d
+        return d
+
+    def _grant_of(self, a: dci_search.AcceptedDci):
+        """Cached DCI->grant derivation (UL grant for fmt 0, else DL)."""
+        g = getattr(a, "_grant", None)
+        if g is None:
+            d = self._unpack_dci(a)
+            g = (dci_mod.ul_grant_from_dci(d, self.cell) if a.fmt == "0"
+                 else dci_mod.dl_grant_from_dci(d, self.cell))
+            a._grant = g
+        return g
+
     def _count_rb_collisions(self, accepted) -> None:
         """Per-subframe RB-allocation overlap detection.
 
@@ -489,7 +510,9 @@ class LTESnifferCore:
         each accepted DL grant's slot-0 PRBs and each UL grant's contiguous
         PRBs are painted into per-direction maps; any overlap marks the
         subframe as colliding (`DCISearch.cc:512-519` increments the
-        per-subframe counters once per direction)."""
+        per-subframe counters once per direction).  Grants that cannot be
+        derived (e.g. invalid RIV) are counted in `nof_malformed_grants`
+        so undercounting stays observable."""
         if not accepted:
             return
         n = self.cell.n_prb
@@ -500,20 +523,19 @@ class LTESnifferCore:
             if isinstance(a.payload, dci_search.PayloadRef):
                 continue   # not materialized (decode_pdsch off): skip
             try:
-                d = dci_mod.unpack(a.payload, a.fmt, self.cell, rnti=a.rnti)
-                if a.fmt == "0":
-                    g = dci_mod.ul_grant_from_dci(d, self.cell)
-                    span = slice(g.prb_start, g.prb_start + g.n_prb)
-                    if ul_map[span].any():
-                        ul_col = True
-                    ul_map[span] = True
-                else:
-                    g = dci_mod.dl_grant_from_dci(d, self.cell)
-                    if (dl_map & g.prb_mask).any():
-                        dl_col = True
-                    dl_map |= g.prb_mask
-            except Exception:
+                g = self._grant_of(a)
+            except (ValueError, KeyError, IndexError):
+                self.search.stats.nof_malformed_grants += 1
                 continue
+            if a.fmt == "0":
+                span = slice(g.prb_start, g.prb_start + g.n_prb)
+                if ul_map[span].any():
+                    ul_col = True
+                ul_map[span] = True
+            else:
+                if (dl_map & g.prb_mask).any():
+                    dl_col = True
+                dl_map |= g.prb_mask
         if dl_col:
             self.search.stats.nof_subframe_collisions_dl += 1
         if ul_col:
@@ -521,8 +543,7 @@ class LTESnifferCore:
 
     def _handle_ul_dci(self, a: dci_search.AcceptedDci, sfn: int, sf: int,
                        nof_ack: int = 0):
-        d = dci_mod.unpack(a.payload, "0", self.cell, rnti=a.rnti)
-        g = dci_mod.ul_grant_from_dci(d, self.cell)
+        g = self._grant_of(a)
         prb_start = g.prb_start
         if g.hopping and g.hop_bits >= 0:
             from ltesniffer_tpu.phy import ra
@@ -543,8 +564,7 @@ class LTESnifferCore:
                         ack_out: Optional[Dict[int, int]] = None):
         """Build a batchable GrantJob for a single-TB DL DCI (None if the
         grant needs the immediate path: MIMO or no usable TBS)."""
-        d = dci_mod.unpack(a.payload, a.fmt, self.cell, rnti=a.rnti)
-        grant = dci_mod.dl_grant_from_dci(d, self.cell)
+        grant = self._grant_of(a)
         if ack_out is not None and a.rnti not in (SIRNTI, PRNTI):
             ack_out[a.rnti] = max(ack_out.get(a.rnti, 0), grant.nof_tb)
         if grant.nof_tb == 2:
@@ -664,8 +684,7 @@ class LTESnifferCore:
     def _handle_dl_dci(self, out, gi: int, cfi: int,
                        a: dci_search.AcceptedDci, sfn: int, sf: int,
                        ack_out: Optional[Dict[int, int]] = None):
-        d = dci_mod.unpack(a.payload, a.fmt, self.cell, rnti=a.rnti)
-        grant = dci_mod.dl_grant_from_dci(d, self.cell)
+        grant = self._grant_of(a)
         if (ack_out is not None and a.rnti not in (SIRNTI, PRNTI)
                 and not RARNTI_START <= a.rnti <= RARNTI_END):
             ack_out[a.rnti] = max(ack_out.get(a.rnti, 0), grant.nof_tb)
@@ -886,6 +905,14 @@ class LTESnifferCore:
     def close(self):
         if self.pcap:
             self.pcap.close()
+        if self.api is not None:
+            self.api.close()
+        if self.dci_trace is not None:
+            self.dci_trace.close()
+            self.dci_trace = None
+        if self.cfg.mcs_csv_path:
+            from . import observability as obs_mod
+            obs_mod.write_mcs_csv(self.cfg.mcs_csv_path, self.mcs)
 
     def summary(self) -> dict:
         ok = sum(1 for r in self.results if r.crc_ok)
@@ -941,6 +968,8 @@ class LTESnifferCoreUL(LTESnifferCore):
         ul = ul_samples[:total * n].reshape(total, 1, n)
         sf_idx = (sf_idx0 + np.arange(total)) % 10
         for a in range(0, total, self.cfg.batch_size):
+            if self.stop_requested:
+                break
             b = min(a + self.cfg.batch_size, total)
             self._process_dual(dl[a:b], ul[a:b], sf_idx[a:b].astype(np.int32))
         return self.ul_results

@@ -81,6 +81,9 @@ class SearchStats:
     nof_missed_cce: int = 0
     nof_subframe_collisions_dl: int = 0
     nof_subframe_collisions_ul: int = 0
+    # accepted DCIs whose grant could not be derived (invalid RIV etc.)
+    # and therefore dropped out of the collision RB map
+    nof_malformed_grants: int = 0
 
 
 class DciBlindSearch:
