@@ -74,13 +74,15 @@ def make_sharded_search(cell: CellConfig, cfi: int, mesh: Mesh):
 
 
 def merge_accepted(per_host_accepted: Sequence[List], host_offsets: Sequence[int]):
-    """Merge per-host accepted-DCI lists into global TTI order.
+    """Order per-host accepted-DCI lists by global TTI.
 
-    per_host_accepted[i] is the list produced from host i's time block
-    starting at absolute subframe host_offsets[i].  Host-boundary tracker
-    state (RNTI histograms) is re-derived by replaying the merged list; the
-    200 ms window means only ~200 boundary subframes per host need replay.
-    """
+    This is the plain time-order merge for hosts whose tracker state is
+    already consistent (e.g. a shared-state single process driving several
+    meshes).  For independent hosts over contiguous time blocks use
+    `ltesniffer_tpu.parallel.multihost`: it implements the boundary
+    tracker replay (each host re-processes the preceding overlap through
+    its own trackers) and the ownership filter that drops the replay
+    duplicates (tested in tests/test_multihost.py)."""
     tagged = []
     for accepted, off in zip(per_host_accepted, host_offsets):
         for a in accepted:

@@ -134,6 +134,28 @@ def _snap_allowed(target: float) -> int:
 
 
 @functools.lru_cache(maxsize=1)
+def spec_tbs_ladder() -> np.ndarray:
+    """The TBS values the spec tables actually use (much sparser than the
+    zero-filler `allowed_tbs_set`): the distinct values of the published
+    rows 0-26, row 32A, plus the 256QAM row-33 headroom value 105528."""
+    vals = set(int(v) for v in np.asarray(_data._TBS_ROWS_0_26).ravel())
+    vals |= set(int(v) for v in _data.TBS_32A)
+    vals.add(105528)
+    return np.array(sorted(vals), dtype=np.int64)
+
+
+def _snap_ladder(target: float) -> int:
+    ladder = spec_tbs_ladder()
+    j = int(np.searchsorted(ladder, target))
+    if j == 0:
+        return int(ladder[0])
+    if j >= len(ladder):
+        return int(ladder[-1])
+    lo, hi = int(ladder[j - 1]), int(ladder[j])
+    return lo if target - lo <= hi - target else hi
+
+
+@functools.lru_cache(maxsize=1)
 def _tbs_rows_27_33() -> np.ndarray:
     """256QAM extension rows 27..33 (anchored interpolation; see
     tables_data docstring). Anchors: row 26 and row 32A exact,
@@ -156,7 +178,7 @@ def _tbs_rows_27_33() -> np.ndarray:
             target = ref26 * (row32a / ref26) ** frac
         else:
             target = row32a * (97896.0 / 93800.0)
-        rows[idx] = [_snap_allowed(t) for t in target]
+        rows[idx] = [_snap_ladder(t) for t in target]
     # pin the published anchor and cap at the 256QAM ceiling
     rows[6, 99] = 97896
     rows = np.minimum(rows, 105528)
@@ -212,33 +234,36 @@ _TBS_2LAYER_LARGE = {
 def _tbs_2layer_map() -> dict:
     """36.213 Table 7.1.7.2.2-1 translation.
 
-    For baselines that occur in the main table at some N_PRB <= 55, the
-    published translation equals the main-table value at 2*N_PRB (the spec's
-    design keeps 2-layer TBS consistent with doubling the allocation); when
-    a baseline occurs at several (I_TBS, N_PRB) the smallest I_TBS row is
-    used. The 17 baselines occurring only above N_PRB 55 are transcribed in
-    `_TBS_2LAYER_LARGE`. Remaining values (256QAM extension rows) snap to
-    the allowed TBS nearest 2x."""
+    Generation rule (validated: it reproduces ALL 17 transcribed published
+    large-baseline pairs in `_TBS_2LAYER_LARGE` exactly, including the
+    exact-hit cases 36696->73712, 46888->93800, 55056->110136,
+    71112->142248 and the Cat-5 peak 75376->149776): the published 2-layer
+    value for baseline B is the 2-layer TBS ladder value nearest to 2B+24
+    (the doubled payload plus one extra TB CRC), ties down.  The 2-layer
+    ladder is the 1-layer spec ladder plus the ten 2-layer-only extension
+    values carried by `_TBS_2LAYER_LARGE` and the 256QAM 2-layer peak
+    195816.  Baselines above 105528 (never produced by the main table) fall
+    back to the zero-filler set."""
+    ladder2 = sorted(set(spec_tbs_ladder().tolist())
+                     | set(_TBS_2LAYER_LARGE.values()) | {195816})
+    ladder2 = np.array(ladder2, dtype=np.int64)
     allowed = allowed_tbs_set()
     tab = tbs_table()
+
+    def _snap(arr, t):
+        j = int(np.searchsorted(arr, t))
+        if j == 0:
+            return int(arr[0])
+        if j >= len(arr):
+            return int(arr[-1])
+        lo, hi = int(arr[j - 1]), int(arr[j])
+        return lo if t - lo <= hi - t else hi
+
     out = {}
-    for i in range(26, -1, -1):   # published rows only; smallest I_TBS wins
-        for n in range(54, -1, -1):   # first occurrence (smallest n) wins
-            out[int(tab[i, n])] = int(tab[i, 2 * (n + 1) - 1])
-    out.update(_TBS_2LAYER_LARGE)
     for v in np.unique(tab):
         v = int(v)
-        if v in out:
-            continue
-        t = 2 * v
-        j = np.searchsorted(allowed, t)
-        if j == 0:
-            out[v] = int(allowed[0])
-        elif j >= len(allowed):
-            out[v] = int(allowed[-1])
-        else:
-            lo, hi = int(allowed[j - 1]), int(allowed[j])
-            out[v] = lo if t - lo <= hi - t else hi
+        out[v] = _snap(ladder2 if v <= 105528 else allowed, 2 * v + 24)
+    out.update(_TBS_2LAYER_LARGE)   # transcribed values take precedence
     return out
 
 

@@ -116,11 +116,38 @@ def test_tbs_table_anchors():
     assert (t[33] <= t[tables.ITBS_33A]).all()
 
 
+# Published 36.213 Table 7.1.7.2.1-1 columns (fixtures): the 50-PRB and
+# 100-PRB columns for every row 0..26, as reproduced across LTE throughput
+# references.  These two columns pin the per-row slope the tail quantization
+# is anchored to (see tables_data.py provenance notes).
+TBS_COL_50 = [1384, 1800, 2216, 2856, 3624, 4392, 5160, 6200, 6968, 7992,
+              8760, 9912, 11448, 12960, 14112, 15264, 16416, 18336, 19848,
+              21384, 22920, 25456, 27376, 29296, 30576, 31704, 36696]
+TBS_COL_100 = [2792, 3624, 4584, 5736, 7224, 8760, 10296, 12216, 14112,
+               15840, 17568, 19848, 22920, 25456, 28336, 30576, 32856,
+               36696, 39232, 43816, 46888, 51024, 55056, 57336, 61664,
+               63776, 75376]
+
+
+def test_tbs_published_columns():
+    t = tables.tbs_table()
+    np.testing.assert_array_equal(t[:27, 49], TBS_COL_50)
+    np.testing.assert_array_equal(t[:27, 99], TBS_COL_100)
+    # every main-table entry is on the spec TBS ladder (the distinct values
+    # the published table uses — much sparser than the zero-filler set)
+    ladder = set(tables.spec_tbs_ladder().tolist())
+    assert set(np.unique(t[:34]).tolist()) <= ladder
+
+
 def test_tbs_published_spot_values():
     """Published 36.213 Table 7.1.7.2.1-1 values."""
     # LTE Cat-4 per-codeword peak (MCS 28, 100 PRB)
     assert tables.tbs_lookup(26, 100) == 75376
     assert tables.tbs_lookup(26, 110) == 75376
+    # LTE Cat-1 peak (10.3 Mbps)
+    assert tables.tbs_lookup(6, 100) == 10296
+    # the round-2 audit point: published value, not 16416
+    assert tables.tbs_lookup(9, 100) == 15840
     # 256QAM per-codeword peak
     assert tables.tbs_lookup(33, 100) == 97896
     # row 32A is the published v15 row (reference ul_sniffer_pusch.c:7-17)
@@ -143,10 +170,24 @@ def test_tbs_2layer_translation():
     assert tables.tbs_2layer(48936) == 97896
     assert tables.tbs_2layer(42368) == 84760
     assert tables.tbs_2layer(52752) == 105528
-    # doubling-consistency region: translate(TBS(i,n)) == TBS(i,2n)
-    for i, n in [(26, 49), (20, 40), (10, 30)]:
-        assert tables.tbs_2layer(tables.tbs_lookup(i, n)) == \
-            tables.tbs_lookup(i, 2 * n)
+    # the generation rule must reproduce every transcribed published pair
+    from ltesniffer_tpu.phy.tables import _TBS_2LAYER_LARGE, spec_tbs_ladder
+    import numpy as _np
+    ladder2 = _np.array(sorted(set(spec_tbs_ladder().tolist())
+                               | set(_TBS_2LAYER_LARGE.values()) | {195816}))
+    for b, want in _TBS_2LAYER_LARGE.items():
+        j = int(_np.searchsorted(ladder2, 2 * b + 24))
+        lo, hi = int(ladder2[max(j - 1, 0)]), int(ladder2[min(j, len(ladder2) - 1)])
+        got = lo if (2 * b + 24) - lo <= hi - (2 * b + 24) else hi
+        assert got == want, (b, got, want)
+    # published small/mid pairs
+    assert tables.tbs_2layer(1544) == 3112
+    assert tables.tbs_2layer(18336) == 36696
+    assert tables.tbs_2layer(36696) == 73712
+    # monotone: a larger baseline never translates smaller
+    vals = sorted(set(_np.unique(tables.tbs_table()).tolist()))
+    trans = [tables.tbs_2layer(v) for v in vals if v > 0]
+    assert all(b <= a for a, b in zip(trans[1:], trans))
 
 
 def test_qpp_permutations_valid():

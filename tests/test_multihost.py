@@ -1,0 +1,110 @@
+"""Multi-host time-block scaling: N-host run == 1-host run.
+
+BASELINE config 5 / SURVEY.md §4 "Multi-host testing: shard the same trace
+across N hosts and assert output-set equality with 1-host run."  Each host
+runs a fresh LTESnifferCore over its time block with the preceding overlap
+replayed through its trackers (`parallel.multihost`); the merge drops the
+replay duplicates and orders by TTI.
+"""
+import numpy as np
+import pytest
+
+from ltesniffer_tpu.io import pcap
+from ltesniffer_tpu.mac_rrc import mac
+from ltesniffer_tpu.parallel import multihost
+from ltesniffer_tpu.phy.params import CellConfig
+from ltesniffer_tpu.sniffer import core
+from ltesniffer_tpu.testing import scenario
+
+CELL = CellConfig(n_id_cell=55, n_prb=50, nof_ports=2, nof_rx_ant=1)
+N_SF = 60
+
+
+def _build_trace():
+    """Traffic of one long-lived RNTI plus one RNTI that first appears just
+    before the 2-host boundary (subframe 30) — exercising histogram
+    validation straddling the block edge."""
+    sb = scenario.ScenarioBuilder(CELL, seed=21)
+    pdu = mac.build_mac_pdu([mac.MacSubPdu(lcid=3, payload=b"mh-traffic")])
+    pdu2 = mac.build_mac_pdu([mac.MacSubPdu(lcid=3, payload=b"boundary-ue")])
+    for j in range(N_SF):
+        sf = j % 10
+        txs = []
+        if j >= 2:
+            txs.append(scenario.DlTx(rnti=0x4100, mac_pdu=pdu, n_prb=10,
+                                     prb_start=0, harq_pid=j % 8,
+                                     ndi=(j // 8) % 2))
+        if j >= 25:   # activates ~5 sf before the boundary at 30
+            txs.append(scenario.DlTx(rnti=0x4B0B, mac_pdu=pdu2, n_prb=8,
+                                     prb_start=20, harq_pid=j % 8,
+                                     ndi=(j // 8) % 2))
+        sb.add_subframe(sf, txs)
+    return sb.stream()
+
+
+def _run_single(tmp_path, stream):
+    cfg = core.SnifferConfig(cell=CELL, batch_size=8,
+                             pcap_path=str(tmp_path / "single.pcap"))
+    c = core.LTESnifferCore(cfg)
+    c.run_samples(stream)
+    c.close()
+    return c, pcap.read_pcap(cfg.pcap_path)
+
+
+def _run_hosts(tmp_path, stream, n_hosts, overlap_sf):
+    blocks = multihost.split_blocks(stream, n_hosts, CELL,
+                                    overlap_sf=overlap_sf)
+    cores = []
+    for blk in blocks:
+        def factory(b):
+            cfg = core.SnifferConfig(
+                cell=CELL, batch_size=8,
+                pcap_path=str(tmp_path / f"host{b.host}.pcap"))
+            return core.LTESnifferCore(cfg)
+        c = multihost.run_block(factory, blk)
+        c.close()
+        cores.append(c)
+    return blocks, cores
+
+
+def _result_key(r):
+    return (r.dci.sfn, r.dci.sf_idx, r.dci.rnti, r.dci.fmt, r.dci.ncce,
+            r.crc_ok, r.payload)
+
+
+def _pcap_key(r):
+    return (r["sfn"], r["sf_idx"], r["rnti"], bytes(r["payload"]))
+
+
+@pytest.mark.parametrize("n_hosts", [2, 3])
+def test_multihost_equals_single_host(tmp_path, n_hosts):
+    stream = _build_trace()
+    single, single_recs = _run_single(tmp_path, stream)
+    blocks, cores = _run_hosts(tmp_path, stream, n_hosts,
+                               overlap_sf=20)
+    merged = multihost.merge_accepted([c.results for c in cores], blocks)
+    # accepted-DCI / decode-result set equality, in TTI order
+    assert [_result_key(r) for r in merged] == \
+        [_result_key(r) for r in single.results]
+    # pcap record set equality
+    per_host = [pcap.read_pcap(str(tmp_path / f"host{h}.pcap"))
+                for h in range(n_hosts)]
+    merged_recs = multihost.merge_pcap_records(per_host, blocks)
+    assert [_pcap_key(r) for r in merged_recs] == \
+        [_pcap_key(r) for r in single_recs]
+    # the boundary-straddling RNTI decoded on both sides
+    rntis = {r["rnti"] for r in merged_recs}
+    assert 0x4B0B in rntis and 0x4100 in rntis
+
+
+def test_ownership_filter_drops_replay_duplicates(tmp_path):
+    stream = _build_trace()
+    blocks, cores = _run_hosts(tmp_path, stream, 2, overlap_sf=20)
+    # host 1 processed 20 replay subframes: raw outputs overlap host 0's
+    h1_all = cores[1].results
+    h1_owned = [r for r in h1_all
+                if multihost.owned(blocks[1], r.dci.sfn, r.dci.sf_idx)]
+    assert len(h1_owned) < len(h1_all)
+    merged = multihost.merge_accepted([c.results for c in cores], blocks)
+    keys = [(r.dci.sfn, r.dci.sf_idx, r.dci.rnti) for r in merged]
+    assert len(keys) == len(set(keys)), "replay duplicates leaked"
