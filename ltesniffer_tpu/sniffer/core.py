@@ -948,7 +948,22 @@ class AcceptedPusch:
 class LTESnifferCoreUL(LTESnifferCore):
     """DL+UL mode: the DL stream drives the blind search; DCI0/RAR grants
     apply to the UL stream 4/6 subframes later (`SubframeWorker::run_ul_mode`
-    + `PUSCH_Decoder::decode`, SURVEY.md §3.3)."""
+    + `PUSCH_Decoder::decode`, SURVEY.md §3.3).
+
+    The UL decode is batched like the DL path: all grants pending over a
+    subframe batch — including 16/64/256QAM trial variants for
+    unknown-table RNTIs — dispatch as grouped device calls with one fused
+    D2H (`pusch_rx.dispatch_grants_ul_batch`); unknown-table trials are
+    rate-limited per RNTI (`MCSTracking.UL_TRIAL_LIMIT`).  PRACH detection
+    runs on every UL subframe the SIB2 PRACH configuration allows
+    (`work_prach`, `UL_Sniffer_PUSCH.cc:672-713`)."""
+
+    _CASCADE = [("16qam", trackers.McsTable.UL_16QAM),
+                ("64qam", trackers.McsTable.UL_64QAM),
+                ("256qam", trackers.McsTable.UL_256QAM)]
+    _TNAME = {trackers.McsTable.UL_16QAM: "16qam",
+              trackers.McsTable.UL_64QAM: "64qam",
+              trackers.McsTable.UL_256QAM: "256qam"}
 
     def __init__(self, cfg: SnifferConfig, cyclic_shift_cfg: int = 0):
         super().__init__(cfg)
@@ -956,6 +971,7 @@ class LTESnifferCoreUL(LTESnifferCore):
         self.ul_frontend = pusch_rx.make_ul_frontend(self.cell)
         self.cyclic_shift_cfg = cyclic_shift_cfg
         self.ul_results: List[AcceptedPusch] = []
+        self.prach_detections: List[dict] = []
 
     def run_dual_samples(self, dl_samples: np.ndarray, ul_samples: np.ndarray,
                          sf_idx0: int = 0,
@@ -975,18 +991,21 @@ class LTESnifferCoreUL(LTESnifferCore):
         return self.ul_results
 
     def _process_dual(self, dl_frames, ul_frames, sf_idx):
-        # NumPy in, NumPy out: the frontend owns the float-pair conversion
-        # (complex64 device<->host is unimplemented on the axon TPU backend)
-        ul_grids = np.asarray(self.ul_frontend(
-            np.ascontiguousarray(ul_frames, dtype=np.complex64)))
-        # process DL batch with a hook that decodes UL at each subframe
+        from . import pusch_rx
+        # UL grids stay ON DEVICE: the batched grant decode gathers from
+        # them there; only the fused per-grant results come back
+        ul_grids = self.ul_frontend(
+            np.ascontiguousarray(ul_frames, dtype=np.complex64))
+        # process the DL batch with a hook that collects pending UL grants
         idx_holder = {"i": 0}
+        collected: List[tuple] = []
 
         def hook(ctx):
             i = idx_holder["i"]
             tti = trackers.tti_of(ctx["sfn"], ctx["sf"])
             for g in self.ulsche.pop(tti):
-                self._decode_ul_grant(ul_grids[i], ctx["sfn"], ctx["sf"], g)
+                collected.append((i, ctx["sfn"], ctx["sf"], g))
+            self._work_prach(ul_frames, i, ctx["sfn"], ctx["sf"])
             idx_holder["i"] += 1
 
         old_hook = self.on_subframe
@@ -995,71 +1014,126 @@ class LTESnifferCoreUL(LTESnifferCore):
             self.process_batch(dl_frames, sf_idx)
         finally:
             self.on_subframe = old_hook
+        # grouped UL decode: dispatch every grant (and table-trial variant)
+        # in one device pass, finish with one fused D2H
+        jobs = self._build_ul_jobs(collected)
+        if jobs:
+            pb = pusch_rx.dispatch_grants_ul_batch(ul_grids, self.cell, jobs)
+            res = pusch_rx.finish_grants_ul_batch(pb)
+            self._finish_ul(jobs, res)
 
-    def _decode_ul_grant(self, ul_grid, sfn: int, sf: int,
-                         g: trackers.UlGrantPending):
-        from . import pusch_rx
-        from ltesniffer_tpu.phy import tables as tbl
-        known = self.mcs.ul_table_of(g.rnti)
-        if known == trackers.McsTable.UNKNOWN:
-            cascade = [("16qam", trackers.McsTable.UL_16QAM),
-                       ("64qam", trackers.McsTable.UL_64QAM),
-                       ("256qam", trackers.McsTable.UL_256QAM)]
-        else:
-            cascade = [({trackers.McsTable.UL_16QAM: "16qam",
-                         trackers.McsTable.UL_64QAM: "64qam",
-                         trackers.McsTable.UL_256QAM: "256qam"}[known], known)]
-        # UCI config: ACK count matched from the DCI0 subframe's DL DCIs,
-        # beta offsets from the UE-config DB, RI present on aperiodic CSI
-        # request (`UL_Sniffer_PUSCH.cc:429-450`: ri_len=1 for TM3/4)
-        ue_cfg = self.mcs.ue_config.get(g.rnti, trackers.UeConfig())
-        ri_len = 1 if g.cqi_request else 0
-        tried_qm = set()
-        res = None
-        used = cascade[0][1]
-        for tname, tenum in cascade:
-            qm, i_tbs = tbl.ul_mcs_to_qm_itbs(g.mcs, tname)
-            if i_tbs < 0:
-                continue
-            if qm in tried_qm:   # tables agree at this mcs -> same decode
-                continue
-            tried_qm.add(qm)
-            tbs = tbl.tbs_lookup(i_tbs, g.n_prb)
-            from ltesniffer_tpu.phy import uci as uci_mod
-            n_ri, n_ack = uci_mod.uci_symbol_counts(
-                g.nof_ack, ri_len, ue_cfg.uci_offset_ack,
-                ue_cfg.uci_offset_ri, g.n_prb, tbs)
-            r = pusch_rx.decode_grant_ul(
-                ul_grid, self.cell, sf, g.rnti, g.prb_start, g.n_prb, qm,
-                tbs, cyclic_shift_cfg=self.cyclic_shift_cfg,
-                dmrs_field=g.dmrs_cs, n_ri_syms=n_ri, n_ack_syms=n_ack)
-            res = r
-            used = tenum
-            if r.crc_ok:
-                if known == trackers.McsTable.UNKNOWN:
-                    self.mcs.learn_ul_table(g.rnti, tenum)
-                break
-        if res is None:
+    # -- PRACH occasion map, 36.211 Table 5.7.1-2 (format 0, FDD) ---------
+    _PRACH_SF = {0: (1,), 1: (4,), 2: (7,), 3: (1,), 4: (4,), 5: (7,),
+                 6: (1, 6), 7: (2, 7), 8: (3, 8), 9: (1, 4, 7),
+                 10: (2, 5, 8), 11: (3, 6, 9), 12: (0, 2, 4, 6, 8),
+                 13: (1, 3, 5, 7, 9), 14: tuple(range(10)), 15: (9,)}
+    _PRACH_EVEN_SFN = {0, 1, 2, 15}
+
+    def _work_prach(self, ul_frames, i: int, sfn: int, sf: int):
+        """PRACH detection on allowed UL subframes (`work_prach`,
+        `UL_Sniffer_PUSCH.cc:672-713`; config from SIB2 `set_rach_config`,
+        `:657`).  Root indexing note: detection correlates the SIB2 root
+        sequence index as a physical ZC root (the logical->physical
+        Table 5.7.2-4 permutation is not embedded)."""
+        sib2 = self.ulsche.sib2
+        if not sib2:
             return
-        st = self.mcs.stat_ul(g.rnti)
-        st.last_seen_tti = trackers.tti_of(sfn, sf)
-        if res.crc_ok:
-            st.success += 1
-        elif res.snr_db >= 1.0:   # UL stats gate (`UL_Sniffer_PUSCH.cc:572`)
-            st.fail += 1
-        payload = None
-        if res.crc_ok:
-            payload = np.packbits(res.tb_bits).tobytes()
-            if self.pcap:
-                self.pcap.write_pdu(payload, rnti=g.rnti,
-                                    direction=pcap_mod.DIRECTION_UPLINK,
-                                    sfn=sfn, sf_idx=sf, crc_ok=True)
-            if self.api is not None:
-                self._api_ul(g.rnti, payload, sfn, sf)
-        self.ul_results.append(AcceptedPusch(
-            rnti=g.rnti, sfn=sfn, sf_idx=sf, crc_ok=res.crc_ok, tbs=res.tbs,
-            payload=payload, snr_db=res.snr_db, ta_us=res.ta_us,
-            table=used, from_rar=g.from_rar))
+        cfg_idx = int(sib2.get("prach_config_index", 3))
+        if cfg_idx in self._PRACH_EVEN_SFN and sfn % 2:
+            return
+        if sf not in self._PRACH_SF.get(cfg_idx, ()):
+            return
+        from . import prach_rx
+        frame = np.asarray(ul_frames[i, 0])
+        cp = int(round(self.cell.srate * prach_rx.T_CP))
+        dets = prach_rx.detect(
+            frame[cp:], self.cell,
+            roots=[int(sib2.get("prach_root_seq_index", 0))],
+            prach_freq_offset=int(sib2.get("prach_freq_offset", 4)),
+            threshold=8.0)
+        for d in dets:
+            self.prach_detections.append(dict(
+                sfn=sfn, sf_idx=sf, root=d.root, preamble=d.preamble,
+                peak=d.peak, ta_samples=d.ta_samples))
+
+    def _build_ul_jobs(self, collected) -> List:
+        from . import pusch_rx
+        from ltesniffer_tpu.phy import tables as tbl, uci as uci_mod
+        jobs = []
+        for gi, (i, sfn, sf, g) in enumerate(collected):
+            known = self.mcs.ul_table_of(g.rnti)
+            if known == trackers.McsTable.UNKNOWN:
+                cascade = list(self._CASCADE)
+                if not self.mcs.ul_trial_budget_ok(g.rnti):
+                    # trial budget exhausted: default table only until a
+                    # success learns the real one
+                    cascade = cascade[:1]
+            else:
+                cascade = [(self._TNAME[known], known)]
+            # UCI config: ACK count matched from the DCI0 subframe's DL
+            # DCIs, beta offsets from the UE-config DB, RI presence from
+            # the UE's transmission mode (`UL_Sniffer_PUSCH.cc:429-450`:
+            # TM3/4 report rank; aperiodic CSI requests add it too)
+            ue_cfg = self.mcs.ue_config.get(g.rnti, trackers.UeConfig())
+            ri_len = 1 if (ue_cfg.tm in (3, 4) or g.cqi_request) else 0
+            tried = set()
+            for order, (tname, tenum) in enumerate(cascade):
+                qm, i_tbs = tbl.ul_mcs_to_qm_itbs(g.mcs, tname)
+                if i_tbs < 0:
+                    continue
+                tbs = tbl.tbs_lookup(i_tbs, g.n_prb)
+                if (qm, tbs) in tried:   # identical decode -> skip variant
+                    continue
+                tried.add((qm, tbs))
+                n_ri, n_ack = uci_mod.uci_symbol_counts(
+                    g.nof_ack, ri_len, ue_cfg.uci_offset_ack,
+                    ue_cfg.uci_offset_ri, g.n_prb, tbs)
+                jobs.append(pusch_rx.UlGrantJob(
+                    b=i, sf_idx=sf, rnti=g.rnti, prb_start=g.prb_start,
+                    n_prb=g.n_prb, qm=qm, tbs=tbs,
+                    cyclic_shift_cfg=self.cyclic_shift_cfg,
+                    dmrs_field=g.dmrs_cs, n_ri_syms=n_ri, n_ack_syms=n_ack,
+                    tag=dict(gi=gi, order=order, tenum=tenum, sfn=sfn,
+                             sf=sf, g=g, known=known)))
+        return jobs
+
+    def _finish_ul(self, jobs, res):
+        """Pick each grant's winning table variant (first CRC pass in
+        cascade order, else the first trial), then stats/pcap/api — the
+        per-grant tail of the reference's `decode` (`:452-583`)."""
+        by_grant: Dict[int, List[tuple]] = {}
+        for job, r in zip(jobs, res):
+            by_grant.setdefault(job.tag["gi"], []).append((job, r))
+        for gi in sorted(by_grant):
+            variants = sorted(by_grant[gi], key=lambda t: t[0].tag["order"])
+            job, r = next(((j, x) for j, x in variants if x.crc_ok),
+                          variants[0])
+            t = job.tag
+            g = t["g"]
+            sfn, sf = t["sfn"], t["sf"]
+            if r.crc_ok and t["known"] == trackers.McsTable.UNKNOWN:
+                self.mcs.learn_ul_table(g.rnti, t["tenum"])
+            elif not r.crc_ok and t["known"] == trackers.McsTable.UNKNOWN:
+                self.mcs.note_ul_trial_fail(g.rnti)
+            st = self.mcs.stat_ul(g.rnti)
+            st.last_seen_tti = trackers.tti_of(sfn, sf)
+            if r.crc_ok:
+                st.success += 1
+            elif r.snr_db >= 1.0:  # UL stats gate (`UL_Sniffer_PUSCH.cc:572`)
+                st.fail += 1
+            payload = None
+            if r.crc_ok:
+                payload = np.packbits(r.tb_bits).tobytes()
+                if self.pcap:
+                    self.pcap.write_pdu(payload, rnti=g.rnti,
+                                        direction=pcap_mod.DIRECTION_UPLINK,
+                                        sfn=sfn, sf_idx=sf, crc_ok=True)
+                if self.api is not None:
+                    self._api_ul(g.rnti, payload, sfn, sf)
+            self.ul_results.append(AcceptedPusch(
+                rnti=g.rnti, sfn=sfn, sf_idx=sf, crc_ok=r.crc_ok,
+                tbs=r.tbs, payload=payload, snr_db=r.snr_db, ta_us=r.ta_us,
+                table=t["tenum"], from_rar=g.from_rar))
 
 
 def _strip_rlc(sdu: bytes):

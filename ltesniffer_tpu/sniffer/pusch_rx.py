@@ -20,6 +20,7 @@ from ltesniffer_tpu.phy import pdsch as pdsch_mod, ra, turbo as turbo_mod
 from ltesniffer_tpu.phy import ul_dmrs
 from ltesniffer_tpu.phy.params import CellConfig
 from ltesniffer_tpu.kernels import cplx, demapper, scfdma
+from . import prof
 from .pdsch_rx import _decode_tb_from_llrs, PdschResult
 
 
@@ -150,3 +151,321 @@ def decode_grant_ul(ul_grid_b, cell: CellConfig, sf_idx: int, rnti: int,
                                soft_buffers, harq_key, n_iter)
     return PuschResult(rnti, tbs, res.crc_ok, res.tb_bits,
                        float(snr_db), float(ta_us), n_prb)
+
+
+# ---------------------------------------------------------------------------
+# Batched multi-grant UL decoding (performance path)
+#
+# The reference decodes every grant of every UL subframe sequentially inside
+# the worker (`UL_Sniffer_PUSCH.cc:389-583`); here all grants collected over
+# a subframe batch — including the 16/64/256QAM trial variants for
+# unknown-table RNTIs — dispatch as grouped device calls (one eq/demap call
+# per (n_prb, qm) bucket, one derm+turbo call per code-block size), with the
+# single fused result D2H started asynchronously, mirroring the DL path's
+# dispatch/finish split (`pdsch_rx.dispatch_grants_batch`).
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass
+class UlGrantJob:
+    b: int                      # subframe index into the UL grid batch
+    sf_idx: int
+    rnti: int
+    prb_start: int
+    n_prb: int
+    qm: int
+    tbs: int
+    rv: int = 0
+    cyclic_shift_cfg: int = 0
+    dmrs_field: int = 0
+    n_ri_syms: int = 0
+    n_ack_syms: int = 0
+    tag: object = None
+
+
+def _pow2(n: int, lo: int = 1) -> int:
+    v = lo
+    while v < n:
+        v *= 2
+    return v
+
+
+@functools.lru_cache(maxsize=64)
+def _eq_batch_ul_fn(cell: CellConfig, n_prb: int, qm: int, n_rows: int):
+    """Jitted batched UL equalize+despread+demap for one (n_prb, qm) group.
+
+    (grids (B,RX,14,n_sc,2), bidx (n,), k0 (n,), dmrs (n,2,m_sc,2),
+     c_init (n,)) -> (llr (n, 12*m_sc*qm), snr_db (n,), ta_us (n,))
+    """
+    m_sc = 12 * n_prb
+    data_syms = np.asarray(scfdma.DATA_SYMS)
+    dmrs_syms = np.asarray(scfdma.DMRS_SYM)
+    wt = np.zeros((12, 2), dtype=np.float32)
+    t0, t1 = scfdma.DMRS_SYM
+    for i, l in enumerate(scfdma.DATA_SYMS):
+        t = np.clip((l - t0) / (t1 - t0), 0.0, 1.0)
+        wt[i] = (1.0 - t, t)
+    subcarrier_spacing = 15e3
+
+    def one(grid, k0, dmrs_ri, c_init):
+        block = jax.lax.dynamic_slice_in_dim(grid, k0, m_sc, axis=-2)
+        pil = block[:, dmrs_syms, :, :]
+        h_ls = cplx.cmul_conj(pil, dmrs_ri[None])
+        pad = jnp.concatenate([h_ls[..., :1, :], h_ls, h_ls[..., -1:, :]],
+                              axis=-2)
+        h_sm = (0.25 * pad[..., :-2, :] + 0.5 * pad[..., 1:-1, :]
+                + 0.25 * pad[..., 2:, :])
+        resid = h_ls - h_sm
+        noise = jnp.mean(cplx.cabs2(resid)) / 0.375
+        sig = jnp.mean(cplx.cabs2(h_sm))
+        snr_db = 10.0 * jnp.log10(jnp.maximum(sig, 1e-12)
+                                  / jnp.maximum(noise, 1e-12))
+        prod = cplx.cmul_conj(h_sm[..., 1:, :], h_sm[..., :-1, :])
+        psum = jnp.sum(prod.reshape(-1, 2), axis=0)
+        slope = jnp.arctan2(psum[1], psum[0])
+        ta_us = -slope / (2.0 * np.pi * subcarrier_spacing) * 1e6
+        h_data = jnp.einsum("rpsc,lp->rlsc", h_sm, jnp.asarray(wt))
+        y = block[:, data_syms, :, :]
+        num = jnp.sum(cplx.cmul_conj(y, h_data), axis=0)
+        den = jnp.sum(cplx.cabs2(h_data), axis=0) + noise
+        x_eq = cplx.cdiv_real(num, den)
+        d = scfdma.dft_deprecode_ri(x_eq, m_sc)
+        llr = demapper.llr(d.reshape(-1, 2), qm)
+        from ltesniffer_tpu.phy import sequences as seq_mod
+        scr = seq_mod.gold_sequence_jax(c_init, 12 * m_sc * qm)
+        llr = llr * (1.0 - 2.0 * scr.astype(jnp.float32))
+        grp = llr.reshape(12, m_sc, qm)
+        de = jnp.transpose(grp, (1, 0, 2)).reshape(-1)
+        return de, snr_db, ta_us
+
+    @jax.jit
+    def run(grids, bidx, k0, dmrs_ri, c_init):
+        return jax.vmap(lambda b, k, dm, ci: one(grids[b], k, dm, ci))(
+            bidx, k0, dmrs_ri, c_init)
+
+    return run
+
+
+@functools.lru_cache(maxsize=256)
+def _derm_turbo_ul_fn(K: int, e_max: int, n_rows: int, n_iter: int):
+    """UL finisher for one code-block-size group: per-row GATHER from the
+    flat LLR pool (absolute `src` indices fold the UCI data-cell selection
+    and ACK punctures into the fetch) + de-rate-match scatter + turbo +
+    CB CRC24B + bit packing.  src rows point padded/punctured entries at
+    the pool's guaranteed-zero tail element.
+    """
+    from ltesniffer_tpu.phy import crc as crc_mod
+    from ltesniffer_tpu.kernels import turbo as kturbo
+    Kp = K + 4
+    Wk = (K + 31) // 32
+    dec = kturbo.make_decoder(K, n_iter)
+    w32 = (1 << np.arange(32, dtype=np.int64)).astype(np.uint32)
+
+    @jax.jit
+    def run(flat, src, pos, F):
+        n = n_rows
+        seg = flat[src]                                       # (n, e_max)
+        valid = pos >= 0
+        d = jnp.zeros((n, 3 * Kp), jnp.float32)
+        d = d.at[jnp.arange(n)[:, None], jnp.where(valid, pos, 0)].add(
+            jnp.where(valid, seg, 0.0))
+        d = d.reshape(n, 3, Kp)
+        fm = jnp.arange(Kp)[None, :] < F[:, None]
+        d = d.at[:, 0, :].set(jnp.where(fm, 1e4, d[:, 0, :]))
+        d = d.at[:, 1, :].set(jnp.where(fm, 1e4, d[:, 1, :]))
+        bits, _ = dec(d)
+        rem = crc_mod.batched_crc(bits, crc_mod.CRC24B).astype(jnp.int32)
+        remsum = jnp.sum(rem, axis=-1).astype(jnp.uint32)
+        pad = jnp.pad(bits, ((0, 0), (0, Wk * 32 - K)))
+        packed = jnp.sum(pad.reshape(n, Wk, 32).astype(jnp.uint32)
+                         * w32, axis=-1, dtype=jnp.uint32)
+        return jnp.concatenate([remsum[:, None], packed], axis=1)
+
+    return run
+
+
+@dataclasses.dataclass
+class PendingUlBatch:
+    jobs: list
+    results: list                      # pre-filled for degenerate jobs
+    seg_of: Dict[int, object]
+    group_rows: list                   # [(K, Wk, [(ji, ci)...]), ...]
+    fused_dev: object                  # (rows, 1+W) u32 or None
+    scalars_dev: object                # (n_jobs, 2) f32 [snr_db, ta_us]
+    scalar_row: Dict[int, int]
+
+
+def dispatch_grants_ul_batch(ul_grids, cell: CellConfig,
+                             jobs, n_iter: int = 8) -> PendingUlBatch:
+    """Launch the grouped device decode of many UL grants; one async D2H."""
+    from ltesniffer_tpu.phy import crc as _  # noqa: F401 (kept warm)
+    from ltesniffer_tpu.phy import uci as uci_mod
+    results = [None] * len(jobs)
+    groups: Dict[Tuple[int, int], list] = {}
+    for ji, j in enumerate(jobs):
+        if j.tbs <= 0 or not ra.valid_dft_prb(j.n_prb):
+            results[ji] = PuschResult(j.rnti, j.tbs, False, None, -99.0,
+                                      0.0, j.n_prb)
+            continue
+        groups.setdefault((j.n_prb, j.qm), []).append(ji)
+    flat_parts = []
+    scalar_parts = []
+    scalar_row: Dict[int, int] = {}
+    base_of: Dict[int, int] = {}
+    base_acc = 0
+    n_scal = 0
+    for (n_prb, qm), jis in sorted(groups.items()):
+        m_sc = 12 * n_prb
+        row_len = 12 * m_sc * qm
+        n_pad = _pow2(len(jis), 2)
+        bidx = np.zeros(n_pad, np.int32)
+        k0 = np.zeros(n_pad, np.int32)
+        cinit = np.zeros(n_pad, np.uint32)
+        dmrs = np.zeros((n_pad, 2, m_sc), np.complex64)
+        for row, ji in enumerate(jis):
+            j = jobs[ji]
+            bidx[row] = j.b
+            k0[row] = 12 * j.prb_start
+            cinit[row] = pdsch_mod.scrambling_cinit(j.rnti, 0, j.sf_idx,
+                                                    cell.n_id_cell)
+            dmrs[row] = np.stack([
+                ul_dmrs.pusch_dmrs(n_prb, 2 * j.sf_idx + s, cell.n_id_cell,
+                                   j.cyclic_shift_cfg, j.dmrs_field)
+                for s in range(2)])
+            base_of[ji] = base_acc + row * row_len
+            scalar_row[ji] = n_scal + row
+        fn = _eq_batch_ul_fn(cell, n_prb, qm, n_pad)
+        with prof.span("pu_eqdemap_call"):
+            llr, snr_db, ta_us = fn(ul_grids, jnp.asarray(bidx),
+                                    jnp.asarray(k0),
+                                    jnp.asarray(cplx.to_ri(dmrs)),
+                                    jnp.asarray(cinit))
+        flat_parts.append(llr.reshape(-1))
+        scalar_parts.append(jnp.stack([snr_db, ta_us], axis=-1))
+        base_acc += n_pad * row_len
+        n_scal += n_pad
+    if not flat_parts:
+        return PendingUlBatch(jobs, results, {}, [], None, None, scalar_row)
+    flat = (jnp.concatenate(flat_parts) if len(flat_parts) > 1
+            else flat_parts[0])
+    scalars = (jnp.concatenate(scalar_parts) if len(scalar_parts) > 1
+               else scalar_parts[0])
+    # pad to a power of two (bounds compile variants) + guaranteed-zero tail
+    flat_pad = _pow2(int(flat.shape[0]) + 1, 1 << 12)
+    flat = jnp.pad(flat, (0, flat_pad - int(flat.shape[0])))
+    zero_idx = flat_pad - 1
+
+    # --- collect code blocks grouped by K -------------------------------
+    seg_of: Dict[int, object] = {}
+    by_k: Dict[int, list] = {}
+    src_of: Dict[int, np.ndarray] = {}
+    for (n_prb, qm), jis in sorted(groups.items()):
+        m_sc = 12 * n_prb
+        for ji in jis:
+            j = jobs[ji]
+            base = base_of[ji]
+            if j.n_ri_syms or j.n_ack_syms:
+                # fold the UCI cell selection into absolute source indices
+                _, ack_cells = uci_mod.uci_positions(m_sc, qm, j.n_ri_syms,
+                                                     j.n_ack_syms)
+                data_cells = uci_mod.data_group_map(m_sc, j.n_ri_syms)
+                cell_src = base + data_cells[:, None] * qm + np.arange(qm)
+                ack = np.zeros(12 * m_sc, bool)
+                ack[ack_cells] = True
+                cell_src[ack[data_cells]] = zero_idx     # ACK punctures
+                src_full = cell_src.reshape(-1).astype(np.int64)
+                n_re_data = 12 * m_sc - j.n_ri_syms
+            else:
+                src_full = base + np.arange(12 * m_sc * qm, dtype=np.int64)
+                n_re_data = 12 * m_sc
+            src_of[ji] = src_full
+            Gbits = n_re_data * qm
+            seg = turbo_mod.segment_sizes(j.tbs)
+            seg_of[ji] = seg
+            es = pdsch_mod.cb_rate_match_sizes(Gbits, seg.C, qm)
+            off = 0
+            for ci_, (K, E) in enumerate(zip(seg.K, es)):
+                F = seg.F if ci_ == 0 else 0
+                by_k.setdefault(K, []).append((ji, ci_, F, E, off))
+                off += E
+
+    group_rows = []
+    fused_parts = []
+    w_max = max(((K + 31) // 32) for K in by_k) if by_k else 0
+    for K, rows in sorted(by_k.items()):
+        Wk = (K + 31) // 32
+        n_b = _pow2(len(rows), 2)
+        e_max = _pow2(max(r[3] for r in rows), 256)
+        src = np.full((n_b, e_max), zero_idx, np.int64)
+        pos = np.full((n_b, e_max), -1, np.int32)
+        F_arr = np.zeros(n_b, np.int32)
+        for r_i, (ji, ci_, F, E, off) in enumerate(rows):
+            src[r_i, :E] = src_of[ji][off:off + E]
+            F_arr[r_i] = F
+            pos[r_i, :E] = turbo_mod.derm_positions(K, F, E, jobs[ji].rv)
+        fn = _derm_turbo_ul_fn(K, e_max, n_b, n_iter)
+        with prof.span("pu_turbo_call"):
+            fused = fn(flat, jnp.asarray(src), jnp.asarray(pos),
+                       jnp.asarray(F_arr))
+        if Wk < w_max:
+            fused = jnp.pad(fused, ((0, 0), (0, w_max - Wk)))
+        fused_parts.append(fused[:len(rows)])
+        group_rows.append((K, Wk, [(r[0], r[1]) for r in rows]))
+    fused_dev = (jnp.concatenate(fused_parts) if len(fused_parts) > 1
+                 else fused_parts[0]) if fused_parts else None
+    for dev in (fused_dev, scalars):
+        if dev is not None:
+            try:
+                dev.copy_to_host_async()
+            except Exception:
+                pass
+    return PendingUlBatch(jobs, results, seg_of, group_rows, fused_dev,
+                          scalars, scalar_row)
+
+
+def finish_grants_ul_batch(pb: PendingUlBatch):
+    """Read the fused result + scalar matrices; assemble PuschResults."""
+    from ltesniffer_tpu.phy import crc as crc_mod
+    jobs, results = pb.jobs, pb.results
+    if pb.fused_dev is None:
+        return results
+    with prof.span("pu_d2h"):
+        host = np.asarray(pb.fused_dev)
+        scal = np.asarray(pb.scalars_dev)
+    bits_of: Dict[Tuple[int, int], np.ndarray] = {}
+    rem_of: Dict[Tuple[int, int], int] = {}
+    shifts = np.arange(32, dtype=np.uint32)
+    r0 = 0
+    for K, Wk, rows in pb.group_rows:
+        n = len(rows)
+        sub = host[r0:r0 + n]
+        r0 += n
+        packed = sub[:, 1:1 + Wk]
+        bits = ((packed[:, :, None] >> shifts) & 1).astype(np.uint8)
+        bits = bits.reshape(n, Wk * 32)[:, :K]
+        for r_i, (ji, ci_) in enumerate(rows):
+            bits_of[(ji, ci_)] = bits[r_i]
+            rem_of[(ji, ci_)] = int(sub[r_i, 0])
+    for ji, j in enumerate(jobs):
+        if results[ji] is not None or ji not in pb.seg_of:
+            continue
+        seg = pb.seg_of[ji]
+        cb_ok, parts = [], []
+        for ci_, K in enumerate(seg.K):
+            blk = bits_of[(ji, ci_)]
+            F = seg.F if ci_ == 0 else 0
+            if seg.C > 1:
+                ok = rem_of[(ji, ci_)] == 0
+                data = blk[F:K - turbo_mod.SEG_CRC]
+            else:
+                ok = True
+                data = blk[F:]
+            cb_ok.append(bool(ok))
+            parts.append(data)
+        tb_with_crc = np.concatenate(parts)[:seg.B]
+        tb_ok = (all(cb_ok)
+                 and crc_mod.crc_bits(tb_with_crc, crc_mod.CRC24A).sum() == 0)
+        sr = pb.scalar_row[ji]
+        results[ji] = PuschResult(
+            j.rnti, j.tbs, bool(tb_ok),
+            tb_with_crc[:j.tbs] if tb_ok else None,
+            float(scal[sr, 0]), float(scal[sr, 1]), j.n_prb)
+    return results

@@ -60,11 +60,20 @@ class UeConfig:
     uci_offset_ri: int = 12
     uci_offset_cqi: int = 15
     cqi_mode: int = -1
+    tm: int = 1            # transmission mode (antennaInfo); RI for TM3/4
     has_config: bool = False
 
 
 class MCSTracking:
     INACTIVITY_MS = 5000   # `MCSTracking.cc` 5 s expiry
+    # full-cascade failures tolerated for an unknown-table RNTI before its
+    # trials drop to the default 16QAM table only (the reference tracks
+    # per-RNTI attempts and stops burning trial decodes on RNTIs that never
+    # decode, `MCSTracking.cc:758-827` per-RNTI DB timestamps/attempts)
+    UL_TRIAL_LIMIT = 8
+    # wrong-MIMO evictions: RNTIs whose grants only ever produce
+    # inconsistent MIMO configs get pruned (`MCSTracking.cc:98-110`)
+    WRONG_MIMO_LIMIT = 8
 
     def __init__(self):
         self.dl_table: Dict[int, McsTable] = {}
@@ -72,6 +81,25 @@ class MCSTracking:
         self.ue_config: Dict[int, UeConfig] = {}
         self.stats_dl: Dict[int, RntiStats] = {}
         self.stats_ul: Dict[int, RntiStats] = {}
+        self.ul_trials: Dict[int, int] = {}
+
+    def ul_trial_budget_ok(self, rnti: int) -> bool:
+        return self.ul_trials.get(rnti, 0) < self.UL_TRIAL_LIMIT
+
+    def note_ul_trial_fail(self, rnti: int):
+        self.ul_trials[rnti] = self.ul_trials.get(rnti, 0) + 1
+
+    def note_wrong_mimo(self, rnti: int) -> bool:
+        """Record an inconsistent MIMO config; True -> evict the RNTI
+        (only-wrong-MIMO RNTIs, `MCSTracking.cc:98-110`)."""
+        st = self.stat_dl(rnti)
+        st.wrong_mimo += 1
+        if st.success == 0 and st.wrong_mimo >= self.WRONG_MIMO_LIMIT:
+            self.stats_dl.pop(rnti, None)
+            self.dl_table.pop(rnti, None)
+            self.ue_config.pop(rnti, None)
+            return True
+        return False
 
     def dl_table_of(self, rnti: int) -> McsTable:
         return self.dl_table.get(rnti, McsTable.UNKNOWN)
@@ -84,6 +112,7 @@ class MCSTracking:
 
     def learn_ul_table(self, rnti: int, table: "McsTable"):
         self.ul_table[rnti] = table
+        self.ul_trials.pop(rnti, None)
 
     def set_ue_config(self, rnti: int, cfg: UeConfig):
         cfg.has_config = True
@@ -105,6 +134,7 @@ class MCSTracking:
                 st.pop(r, None)
                 d.pop(r, None)
                 self.ue_config.pop(r, None)
+                self.ul_trials.pop(r, None)
 
     def table_summary(self):
         return {
