@@ -146,6 +146,7 @@ class RrcConnectionSetup:
     cqi_offset: int = 15
     ack_offset: int = 10
     ri_offset: int = 12
+    tm: int = 1              # antennaInfo transmissionMode (1..8)
 
 
 _PA_VALUES = (-6.0, -4.77, -3.0, -1.77, 0.0, 1.0, 2.0, 3.0)
@@ -168,6 +169,7 @@ def encode_connection_setup(s: RrcConnectionSetup) -> bytes:
     w.write(s.cqi_offset, 4)
     w.write(s.ack_offset, 4)
     w.write(s.ri_offset, 4)
+    w.write(s.tm - 1, 3)     # antennaInfo transmissionMode tm1..tm8
     return w.to_bytes()
 
 
@@ -187,6 +189,10 @@ def decode_dl_ccch(data: bytes):
         s.cqi_offset = r.read(4)
         s.ack_offset = r.read(4)
         s.ri_offset = r.read(4)
+        try:
+            s.tm = r.read(3) + 1
+        except (IndexError, ValueError):
+            s.tm = 1         # older encodings without antennaInfo
         return ("connection_setup", s)
     except (IndexError, ValueError):
         return None

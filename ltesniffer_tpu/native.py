@@ -24,21 +24,33 @@ _SO = os.path.join(_BUILD_DIR, "libresolver.so")
 _lib = None
 
 
+_SO_ASAN = os.path.join(_BUILD_DIR, "libresolver_asan.so")
+
+
 def load_library():
     """Compile (if needed) and load the native library.  Returns None when
-    no toolchain is available (callers fall back to the Python path)."""
+    no toolchain is available (callers fall back to the Python path).
+
+    With LTESNIFFER_NATIVE_ASAN=1 in the environment, an
+    AddressSanitizer-instrumented build is used instead (the reference
+    ships ENABLE_ASAN/ENABLE_MSAN build options, `CMakeLists.txt:339-351`).
+    The process must preload libasan (see tests/test_native_asan.py)."""
     global _lib
     if _lib is not None:
         return _lib
+    asan = os.environ.get("LTESNIFFER_NATIVE_ASAN") == "1"
+    so = _SO_ASAN if asan else _SO
+    flags = (["-O1", "-g", "-fsanitize=address", "-fno-omit-frame-pointer"]
+             if asan else ["-O2"])
     try:
-        if (not os.path.exists(_SO)
-                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(_SRC)):
             os.makedirs(_BUILD_DIR, exist_ok=True)
             subprocess.run(
-                ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-                 "-o", _SO, _SRC],
+                ["g++", *flags, "-shared", "-fPIC", "-std=c++17",
+                 "-o", so, _SRC],
                 check=True, capture_output=True)
-        lib = ctypes.CDLL(_SO)
+        lib = ctypes.CDLL(so)
     except (OSError, subprocess.CalledProcessError):
         return None
     lib.rm_create.restype = ctypes.c_void_p

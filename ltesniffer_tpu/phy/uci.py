@@ -11,9 +11,10 @@ needs two things:
 * HARQ-ACK symbols *puncture* data at columns {2, 3, 8, 9} (order
   [2, 9, 8, 3], bottom-up) — their LLRs are unreliable for data and zeroed.
 
-Q' (symbol counts) are computed from the *current* grant (the spec uses the
-initial grant of the TB; equal for non-adaptive retransmissions, which is
-the common case — documented simplification).
+Q' (symbol counts) are computed from whatever (n_prb, tbs) the caller
+passes; the core passes the TB's INITIAL grant dimensions (tracked per
+RNTI by `trackers.UlGrantHistory`), matching 36.212 5.2.2.6's use of the
+initial PUSCH allocation for adaptive retransmissions.
 """
 from __future__ import annotations
 

@@ -597,9 +597,17 @@ class LTESnifferCore:
             b=gi, sf_idx=sf, cfi=cfi, rnti=a.rnti, prb_mask=grant.prb_mask,
             qm=qm, tbs=tbs, rv=grant.rv,
             prb_mask_slot1=grant.prb_mask_slot1, harq_key=harq_key,
-            is_retx=is_retx,
+            is_retx=is_retx, pa=self._pa_of(a.rnti),
             tag=dict(a=a, grant=grant, sfn=sfn, sf=sf, is_retx=is_retx,
                      table=table, known=known, is_special=is_special))
+
+    def _pa_of(self, rnti: int) -> float:
+        """Linear PDSCH power scale 10^(p_a/20) from the UE's dedicated
+        config (`MCSTracking.cc:1446-1529`); 1.0 when unconfigured."""
+        cfg = self.mcs.ue_config.get(rnti)
+        if cfg is None or not cfg.has_config or cfg.p_a == 0.0:
+            return 1.0
+        return float(10.0 ** (cfg.p_a / 20.0))
 
     def _dispatch_pending(self, outs, pending):
         """Launch the grouped device decode for all collected jobs; returns
@@ -665,6 +673,8 @@ class LTESnifferCore:
             payload = np.packbits(res.tb_bits).tobytes()
             self._emit_pdsch(a, payload, sfn, sf, crc_ok=True,
                              retx=1 if is_retx else 0)
+            if not t["is_special"]:
+                self._learn_ue_config(a.rnti, payload)
             if self.api is not None:
                 self._api_dl(a.rnti, payload, sfn, sf)
         st = self.mcs.stat_dl(a.rnti)
@@ -693,9 +703,20 @@ class LTESnifferCore:
             # TB enabled iff not (mcs == 0 and rv == 1), 36.213 7.1.7.2
             en0 = not (grant.mcs == 0 and grant.rv == 1)
             en1 = not (grant.mcs2 == 0 and grant.rv2 == 1)
-            if en0 and en1 and self.cell.nof_rx_ant >= 2:
-                return self._handle_dl_dci_mimo(out, gi, cfi, a, grant,
-                                                sfn, sf, tti)
+            if en0 and en1:
+                # format 2 pinfo 3+ with 2 codewords is reserved
+                # (36.212 Table 5.3.3.1.5-4) -> inconsistent MIMO config
+                if a.fmt == "2" and grant.precoding > 2:
+                    self.mcs.note_wrong_mimo(a.rnti)
+                    return
+                if self.cell.nof_rx_ant >= 2:
+                    return self._handle_dl_dci_mimo(out, gi, cfi, a, grant,
+                                                    sfn, sf, tti)
+                # 2 spatial codewords but a 1-antenna receiver: the grant
+                # cannot be decoded — count it like the reference's
+                # MIMO-config error (W_MIMO column, `MCSTracking.cc:98-110`)
+                self.mcs.note_wrong_mimo(a.rnti)
+                return
             # single enabled TB -> fall through as transmit diversity with
             # that TB's fields
             if en1 and not en0:
@@ -750,7 +771,8 @@ class LTESnifferCore:
                 cfi, rnti=a.rnti, prb_mask=grant.prb_mask, qm=qm, tbs=tbs,
                 rv=grant.rv, prb_mask_slot1=grant.prb_mask_slot1,
                 soft_buffers=self.soft_buffers if use_buffers else None,
-                harq_key=harq_key if use_buffers else None)
+                harq_key=harq_key if use_buffers else None,
+                pa=self._pa_of(a.rnti))
             res = r
             used_table = table
             if r.crc_ok:
@@ -770,6 +792,8 @@ class LTESnifferCore:
                              retx=1 if is_retx else 0)
             if RARNTI_START <= a.rnti <= RARNTI_END:
                 self._handle_rar(payload, sfn, sf)
+            elif not is_special:
+                self._learn_ue_config(a.rnti, payload)
             if self.api is not None:
                 self._api_dl(a.rnti, payload, sfn, sf)
         st = self.mcs.stat_dl(a.rnti)
@@ -852,6 +876,30 @@ class LTESnifferCore:
             if hasattr(self, "cyclic_shift_cfg"):
                 self.cyclic_shift_cfg = cfg.cyclic_shift
 
+    def _learn_ue_config(self, rnti: int, payload: bytes):
+        """UE-specific config from RRC ConnectionSetup in a DL CCCH SDU —
+        learned UNCONDITIONALLY, api mode or not (the reference's
+        MCSTracking consumes every ConnectionSetup,
+        `DL_Sniffer_PDSCH.cc:1041-1070` -> `MCSTracking.cc:1446-1529`)."""
+        if (rnti in (SIRNTI, PRNTI) or RARNTI_START <= rnti <= RARNTI_END
+                or rnti in self.mcs.ue_config):
+            return
+        from ltesniffer_tpu.mac_rrc import rrc as rrc_mod
+        try:
+            subs = mac_mod.parse_mac_pdu(payload)
+        except Exception:
+            return
+        for s in subs:
+            if s.lcid != mac_mod.LCID_CCCH:
+                continue
+            out = rrc_mod.decode_dl_ccch(s.payload)
+            if out and out[0] == "connection_setup":
+                setup = out[1]
+                self.mcs.set_ue_config(rnti, trackers.UeConfig(
+                    p_a=setup.p_a_db, uci_offset_ack=setup.ack_offset,
+                    uci_offset_ri=setup.ri_offset,
+                    uci_offset_cqi=setup.cqi_offset, tm=setup.tm))
+
     def _api_dl(self, rnti: int, payload: bytes, sfn: int, sf: int):
         """Security-API extraction from DL MAC PDUs
         (`run_api_dl_mode`, `DL_Sniffer_PDSCH.cc:804-879`)."""
@@ -868,12 +916,7 @@ class LTESnifferCore:
             if s.lcid == mac_mod.LCID_CON_RES and len(s.payload) >= 6:
                 self.api.on_con_res(rnti, s.payload[:6], sfn, sf)
             elif s.lcid == mac_mod.LCID_CCCH:
-                setup = self.api.on_dl_ccch(rnti, s.payload, sfn, sf)
-                if setup is not None:
-                    self.mcs.set_ue_config(rnti, trackers.UeConfig(
-                        p_a=setup.p_a_db, uci_offset_ack=setup.ack_offset,
-                        uci_offset_ri=setup.ri_offset,
-                        uci_offset_cqi=setup.cqi_offset))
+                self.api.on_dl_ccch(rnti, s.payload, sfn, sf)
 
     def _handle_rar(self, payload: bytes, sfn: int, sf: int):
         """RAR: activate T-CRNTIs (RM_ACT_RAR) + queue UL grants
@@ -972,6 +1015,7 @@ class LTESnifferCoreUL(LTESnifferCore):
         self.cyclic_shift_cfg = cyclic_shift_cfg
         self.ul_results: List[AcceptedPusch] = []
         self.prach_detections: List[dict] = []
+        self.ul_hist = trackers.UlGrantHistory()
 
     def run_dual_samples(self, dl_samples: np.ndarray, ul_samples: np.ndarray,
                          sf_idx0: int = 0,
@@ -1076,6 +1120,10 @@ class LTESnifferCoreUL(LTESnifferCore):
             # TM3/4 report rank; aperiodic CSI requests add it too)
             ue_cfg = self.mcs.ue_config.get(g.rnti, trackers.UeConfig())
             ri_len = 1 if (ue_cfg.tm in (3, 4) or g.cqi_request) else 0
+            # Q' sizes from the TB's INITIAL grant (36.212 5.2.2.6): an
+            # adaptive retransmission keeps the first allocation's dims
+            init_prb, init_mcs = self.ul_hist.initial_dims(
+                g.rnti, g.ndi, g.n_prb, g.mcs)
             tried = set()
             for order, (tname, tenum) in enumerate(cascade):
                 qm, i_tbs = tbl.ul_mcs_to_qm_itbs(g.mcs, tname)
@@ -1085,9 +1133,12 @@ class LTESnifferCoreUL(LTESnifferCore):
                 if (qm, tbs) in tried:   # identical decode -> skip variant
                     continue
                 tried.add((qm, tbs))
+                _, init_itbs = tbl.ul_mcs_to_qm_itbs(init_mcs, tname)
+                init_tbs = (tbl.tbs_lookup(init_itbs, init_prb)
+                            if init_itbs >= 0 else tbs)
                 n_ri, n_ack = uci_mod.uci_symbol_counts(
                     g.nof_ack, ri_len, ue_cfg.uci_offset_ack,
-                    ue_cfg.uci_offset_ri, g.n_prb, tbs)
+                    ue_cfg.uci_offset_ri, init_prb, init_tbs)
                 jobs.append(pusch_rx.UlGrantJob(
                     b=i, sf_idx=sf, rnti=g.rnti, prb_start=g.prb_start,
                     n_prb=g.n_prb, qm=qm, tbs=tbs,

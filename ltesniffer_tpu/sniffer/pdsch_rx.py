@@ -59,12 +59,15 @@ def _eq_demap_fn(cell: CellConfig, qm: int, n_re_pad: int, use_sfbc: bool):
     """Jitted: one grant's REs -> descrambled LLRs.
 
     (grid_flat (RX, L), h_flat (RX, P, L), noise (), re_idx (n_re_pad,) i32,
-     c_init ()) -> llr (n_re_pad * qm,) f32
-    """
+     c_init (), pa ()) -> llr (n_re_pad * qm,) f32
+
+    pa: linear PDSCH-to-CRS amplitude ratio 10^(p_a/20) from the UE's
+    dedicated config (`MCSTracking.cc:1446-1529` stores p_a; applied here
+    as a scale on the CRS-derived channel estimate)."""
     @jax.jit
-    def run(grid_flat, h_flat, noise_var, re_idx, c_init):
+    def run(grid_flat, h_flat, noise_var, re_idx, c_init, pa):
         y = grid_flat[:, re_idx, :][None]        # (1, RX, n, 2)
-        hh = h_flat[:, :, re_idx, :][None]       # (1, RX, P, n, 2)
+        hh = h_flat[:, :, re_idx, :][None] * pa  # (1, RX, P, n, 2)
         nv = noise_var[None]
         if use_sfbc:
             x = chest.equalize_sfbc(y, hh, nv)[0]
@@ -94,7 +97,7 @@ def decode_grant(grids, h, noise_var, b: int, cell: CellConfig, sf_idx: int,
                  rv: int = 0, prb_mask_slot1: Optional[np.ndarray] = None,
                  soft_buffers: Optional[Dict] = None,
                  harq_key: Optional[Tuple] = None,
-                 n_iter: int = 8) -> PdschResult:
+                 n_iter: int = 8, pa: float = 1.0) -> PdschResult:
     """Decode one PDSCH grant from subframe ``b`` of a demodulated batch.
 
     grids: (B, RX, 14, n_sc) jnp; h: (B, RX, P, 14, n_sc); noise_var: (B,).
@@ -116,7 +119,8 @@ def decode_grant(grids, h, noise_var, b: int, cell: CellConfig, sf_idx: int,
     gflat = grids[b].reshape(grids.shape[1], -1, 2)
     hflat = h[b].reshape(h.shape[1], h.shape[2], -1, 2)
     llr = np.asarray(fn(gflat, hflat, noise_var[b], jnp.asarray(idx),
-                        jnp.asarray(np.uint32(c_init))))[:G]
+                        jnp.asarray(np.uint32(c_init)),
+                        jnp.float32(pa)))[:G]
 
     return _decode_tb_from_llrs(llr, rnti, tbs, qm, rv, n_re, soft_buffers,
                                 harq_key, n_iter)
@@ -256,6 +260,7 @@ class GrantJob:
     prb_mask_slot1: Optional[np.ndarray] = None
     harq_key: Optional[Tuple] = None
     is_retx: bool = False       # HARQ: combine with the stored soft buffer
+    pa: float = 1.0             # linear 10^(p_a/20) PDSCH power scale
     tag: object = None          # caller cookie (e.g. the AcceptedDci)
 
 
@@ -268,12 +273,13 @@ def _eq_demap_batch_fn(cell: CellConfig, qm: int, n_re_pad: int,
      c_init (G,)) -> llr (G, n*qm)
     """
     @jax.jit
-    def run(gflat, hflat, noise_var, bidx, re_idx, c_init):
+    def run(gflat, hflat, noise_var, bidx, re_idx, c_init, pa):
         # advanced-index gather: result (G, n, RX, 2) -> move RX forward
         y = gflat[bidx[:, None], :, re_idx, :]           # (G, n, RX, 2)
         y = jnp.moveaxis(y, 1, 2)                        # (G, RX, n, 2)
         hh = hflat[bidx[:, None], :, :, re_idx, :]       # (G, n, RX, P, 2)
         hh = jnp.moveaxis(hh, 1, 3)                      # (G, RX, P, n, 2)
+        hh = hh * pa[:, None, None, None, None]          # p_a scaling
         nv = noise_var[bidx]
         if use_sfbc:
             x = chest.equalize_sfbc(y, hh, nv)           # (G, n, 2)
@@ -391,6 +397,7 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
         bidx[:G] = [jobs[ji].b for ji in jis]
         idx = np.zeros((G_pad, n_pad), np.int32)
         cinit = np.zeros(G_pad, np.uint32)
+        pa = np.ones(G_pad, np.float32)
         for row, ji in enumerate(jis):
             re_idx = meta[ji]
             idx[row, :len(re_idx)] = re_idx
@@ -398,11 +405,12 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
             j = jobs[ji]
             cinit[row] = pdsch_mod.scrambling_cinit(j.rnti, 0, j.sf_idx,
                                                     cell.n_id_cell)
+            pa[row] = j.pa
             base_of[ji] = base_acc + row * (n_pad * qm)
         fn = _eq_demap_batch_fn(cell, qm, n_pad, cell.nof_ports >= 2)
         with prof.span("pd_eqdemap_call"):
             out = fn(gflat, hflat, noise_var, jnp.asarray(bidx),
-                     jnp.asarray(idx), jnp.asarray(cinit))
+                     jnp.asarray(idx), jnp.asarray(cinit), jnp.asarray(pa))
         flat_parts.append(out.reshape(-1))
         base_acc += G_pad * n_pad * qm
     n_re_of = {ji: len(meta[ji]) for ji in range(len(jobs))

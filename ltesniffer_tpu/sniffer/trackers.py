@@ -279,6 +279,31 @@ class SoftBufferPool(dict):
             self._drop(k)
 
 
+class UlGrantHistory:
+    """Per-RNTI initial-grant memory for UCI Q' sizing.
+
+    36.212 5.2.2.6 computes Q' from the TB's INITIAL PUSCH allocation
+    (M_sc^initial, K_r^initial); an adaptive retransmission (same NDI,
+    different allocation) keeps the initial dimensions.  The reference gets
+    this via srsRAN's UL softbuffer/grant state; here the (ndi, n_prb, mcs)
+    of the last new transmission per RNTI is remembered."""
+
+    def __init__(self):
+        self.last: Dict[int, Tuple[int, int, int]] = {}
+
+    def initial_dims(self, rnti: int, ndi: int, n_prb: int,
+                     mcs: int) -> Tuple[int, int]:
+        prev = self.last.get(rnti)
+        if prev is not None and prev[0] == ndi:
+            return prev[1], prev[2]      # retransmission: initial dims
+        self.last[rnti] = (ndi, n_prb, mcs)
+        return n_prb, mcs
+
+    def prune(self, keep_rntis):
+        for r in [r for r in self.last if r not in keep_rntis]:
+            del self.last[r]
+
+
 @dataclasses.dataclass
 class UlGrantPending:
     rnti: int

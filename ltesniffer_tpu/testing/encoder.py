@@ -151,10 +151,13 @@ def encode_pdsch_bits(tb_bits: np.ndarray, qm: int, G: int, rv: int = 0):
 
 def add_pdsch(g: np.ndarray, cell: CellConfig, sf_idx: int, cfi: int,
               rnti: int, prb_mask: np.ndarray, qm: int, tb_bits: np.ndarray,
-              rv: int = 0, prb_mask_slot1: np.ndarray | None = None):
+              rv: int = 0, prb_mask_slot1: np.ndarray | None = None,
+              amplitude: float = 1.0):
     """Encode and map one PDSCH transport block onto per-port grids ``g``.
 
-    TM1 (1 port) or TM2/SFBC (2 ports).  Returns G (bit capacity used).
+    TM1 (1 port) or TM2/SFBC (2 ports).  ``amplitude`` scales the PDSCH
+    REs relative to CRS — the eNB's rho_A = 10^(p_a/20) power offset.
+    Returns G (bit capacity used).
     """
     from ltesniffer_tpu.phy import pdsch as pdsch_mod
     from ltesniffer_tpu.phy import sequences as seq_mod
@@ -166,7 +169,7 @@ def add_pdsch(g: np.ndarray, cell: CellConfig, sf_idx: int, cfi: int,
     c_init = pdsch_mod.scrambling_cinit(rnti, 0, sf_idx, cell.n_id_cell)
     scr = seq_mod.gold_sequence(c_init, G)
     bits = coded ^ scr
-    syms = modulation.modulate(bits, qm)
+    syms = modulation.modulate(bits, qm) * np.complex64(amplitude)
     if cell.nof_ports >= 2:
         per_port = _sfbc_precode(syms)
     else:
