@@ -1,62 +1,141 @@
-"""Benchmark: LTE subframes/s through the batched PDCCH blind-decode pipeline.
+"""Benchmark: END-TO-END loaded-cell subframes/s through the full sniffer.
 
 Runs on the real TPU chip (axon).  Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-Baseline: the reference sustains 1000 subframes/s (real-time, 20 MHz,
-i7-9700K, `BASELINE.md`).  This bench measures the same unit of work per
-subframe the reference's hot path does: OFDM demod + channel estimation +
-blind Viterbi decode of every (location x payload-size) candidate.
+The primary metric mirrors the reference's headline number — 1000
+subframes/s sustained on a loaded cell ("Processed 1000/1000 subframes",
+`README.md:47`, counter `src/src/LTESniffer_Core.cc:463-472`, i7-9700K,
+150 active users): a 100-PRB cell stream with ~50 active RNTIs and 10+
+PDSCH grants per subframe runs through `LTESnifferCore.run_samples` —
+OFDM demod + chest + PCFICH + blind PDCCH search (157 locations x 7
+payload sizes) + host RNTI resolve + HARQ classification + grouped PDSCH
+equalize/demap/turbo/CRC + MAC handling — and the wall clock covers all
+of it.  The PDCCH-only stage rate (rounds 1/2's metric) is reported as a
+secondary field.
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
 
-def main():
+N_SF = int(os.environ.get("BENCH_SF", "512"))
+N_RNTI = int(os.environ.get("BENCH_RNTI", "50"))
+GRANTS = int(os.environ.get("BENCH_GRANTS", "12"))
+BATCH = int(os.environ.get("BENCH_BATCH", "256"))
+
+
+def build_stream(cell):
+    """Loaded-cell scenario: ~N_RNTI active UEs, GRANTS PDSCH grants/sf
+    under real CCE contention, PBCH on subframe 0."""
+    from ltesniffer_tpu.mac_rrc import mac
+    from ltesniffer_tpu.testing import scenario
+
+    sb = scenario.ScenarioBuilder(cell, cfi=2, seed=7)
+    rntis = [0x100 + i for i in range(N_RNTI)]
+    ndi = {}
+    placed = 0
+    for j in range(N_SF):
+        sf = j % 10
+        txs = []
+        for g in range(GRANTS):
+            r = rntis[(j * GRANTS + g) % N_RNTI]
+            pid = (j // 8) % 8
+            ndi[(r, pid)] = ndi.get((r, pid), 1) ^ 1
+            pdu = mac.build_mac_pdu([mac.MacSubPdu(
+                lcid=3, payload=bytes([g]) * (40 + 10 * (g % 3)))])
+            txs.append(scenario.DlTx(rnti=r, mac_pdu=pdu, n_prb=8,
+                                     prb_start=g * 8, harq_pid=pid,
+                                     ndi=ndi[(r, pid)]))
+        placed += sb.add_subframe(sf, txs, strict=False,
+                                  with_pbch_sfn=j // 10 if sf == 0 else None)
+    return sb.stream(), placed
+
+
+def run_e2e(cell, stream):
+    from ltesniffer_tpu.sniffer import core
+    cfg = core.SnifferConfig(cell=cell, batch_size=BATCH)
+    c = core.LTESnifferCore(cfg)
+    t0 = time.perf_counter()
+    c.run_samples(stream)
+    dt = time.perf_counter() - t0
+    s = c.summary()
+    return dt, s
+
+
+def run_pdcch_only(cell):
+    """Rounds 1/2's stage metric: blind PDCCH decode on random noise."""
     import jax
-    from ltesniffer_tpu.phy.params import CellConfig
+    import jax.numpy as jnp
+    from ltesniffer_tpu.kernels import cplx
     from ltesniffer_tpu.sniffer import pdcch_rx
 
-    # 20 MHz cell, CFI 3 -> 84 CCEs, 157 blind locations (reference maximums)
-    cell = CellConfig(n_id_cell=301, n_prb=100, nof_ports=2, nof_rx_ant=1)
-    cfi = 3
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-
-    from ltesniffer_tpu.kernels import cplx
-    run, st = pdcch_rx.make_pipeline(cell, cfi)
+    run, _ = pdcch_rx.make_pipeline(cell, 3)
     run = run.jitted_ri
+    B = 64
     rng = np.random.default_rng(0)
     samples = (rng.standard_normal((B, 1, cell.sf_len))
-               + 1j * rng.standard_normal((B, 1, cell.sf_len))).astype(np.complex64)
+               + 1j * rng.standard_normal((B, 1, cell.sf_len))
+               ).astype(np.complex64)
     sf_idx = (np.arange(B) % 10).astype(np.int32)
-
     dev = jax.devices()[0]
     samples_d = jax.device_put(cplx.to_ri(samples), dev)
     sf_d = jax.device_put(sf_idx, dev)
-
-    # compile + warmup; read a value back to force real execution end-to-end
     out = run(samples_d, sf_d)
     jax.block_until_ready(out)
-    _ = float(jax.numpy.sum(out["cce_power"]))
-
+    _ = float(jnp.sum(out["cce_power"]))
     n_iters = 10
     t0 = time.perf_counter()
     for _ in range(n_iters):
         out = run(samples_d, sf_d)
-    # checksum readback inside the timed region pins the full pipeline
-    checksum = float(jax.numpy.sum(out["cce_power"]))
+    checksum = float(jnp.sum(out["cce_power"]))
     dt = time.perf_counter() - t0
-    assert checksum == checksum  # not NaN
+    assert checksum == checksum
+    return B * n_iters / dt
 
-    sf_per_s = B * n_iters / dt
+
+def main():
+    from ltesniffer_tpu.phy.params import CellConfig
+    cell = CellConfig(n_id_cell=301, n_prb=100, nof_ports=2, nof_rx_ant=1)
+
+    stream, placed = build_stream(cell)
+    print(f"[bench] scenario: {N_SF} sf, {placed} grants, "
+          f"{stream.nbytes / 1e6:.0f} MB", file=sys.stderr)
+
+    # pass 1: compile + warm everything (HARQ/MCS state builds here too)
+    dt_cold, s1 = run_e2e(cell, stream)
+    print(f"[bench] cold pass: {dt_cold:.1f}s, {s1['dcis']} DCIs, "
+          f"{s1['pdsch_ok']} PDSCH ok", file=sys.stderr)
+    # timed passes on fresh cores (fresh tracker state, warm kernels)
+    rates = []
+    s2 = None
+    for _ in range(2):
+        dt, s2 = run_e2e(cell, stream)
+        rates.append(N_SF / dt)
+    e2e_rate = max(rates)
+    assert s2["dcis"] == s1["dcis"] and s2["pdsch_ok"] == s1["pdsch_ok"]
+    # sanity: the run actually decoded the cell (not a no-op sweep)
+    assert s2["pdsch_ok"] >= 0.8 * placed, (s2, placed)
+
+    pdcch_rate = run_pdcch_only(cell)
+
     print(json.dumps({
-        "metric": "pdcch_blind_decode_subframes_per_second",
-        "value": round(sf_per_s, 1),
-        "unit": "subframes/s (20MHz, cfi3, 157 locations x 7 sizes, 1 chip)",
-        "vs_baseline": round(sf_per_s / 1000.0, 3),
+        "metric": "e2e_loaded_cell_subframes_per_second",
+        "value": round(e2e_rate, 1),
+        "unit": (f"subframes/s (20MHz, {N_RNTI} RNTIs, "
+                 f"{GRANTS} grants/sf, full DL chain, 1 chip)"),
+        "vs_baseline": round(e2e_rate / 1000.0, 3),
+        "secondary": {
+            "pdcch_blind_decode_subframes_per_second": round(pdcch_rate, 1),
+            "pdsch_ok": s2["pdsch_ok"],
+            "dcis": s2["dcis"],
+        },
     }))
 
 

@@ -58,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write tab-separated per-DCI trace lines to PATH")
     p.add_argument("--csv", default=None, metavar="PATH",
                    help="write mcs_statistic.csv-style stats to PATH on exit")
+    p.add_argument("--draw", action="store_true",
+                   help="print ASCII RB-allocation / UL power maps per "
+                   "subframe (DCIDrawASCII/PowerDrawASCII analog)")
     return p
 
 
@@ -117,7 +120,8 @@ def main(argv=None) -> int:
                              heartbeat=args.heartbeat,
                              table_every_s=args.tables,
                              dci_trace_path=args.dci_trace,
-                             mcs_csv_path=args.csv)
+                             mcs_csv_path=args.csv,
+                             draw_maps=args.draw)
     t0 = time.time()
     if args.ul_input:
         if not os.path.exists(args.ul_input):

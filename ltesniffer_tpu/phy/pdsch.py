@@ -48,11 +48,32 @@ def reserved_re_mask(cell: CellConfig, sf_idx: int, cfi: int) -> np.ndarray:
     return mask
 
 
+_GRANT_RE_CACHE: dict = {}
+
+
 def grant_re_indices(cell: CellConfig, sf_idx: int, cfi: int,
                      prb_mask: np.ndarray,
                      prb_mask_slot1: np.ndarray | None = None) -> np.ndarray:
     """Flat (l * n_sc + k) indices of the grant's PDSCH REs in mapping order
-    (k ascending within symbol, symbols ascending), slot-aware."""
+    (k ascending within symbol, symbols ascending), slot-aware.
+
+    Memoized on (cell, sf_idx, cfi, mask bytes): a loaded cell re-issues
+    the same allocations every frame and this sits on the per-grant hot
+    path.  Callers must not mutate the returned array."""
+    key = (cell, sf_idx, cfi, np.asarray(prb_mask, bool).tobytes(),
+           None if prb_mask_slot1 is None
+           else np.asarray(prb_mask_slot1, bool).tobytes())
+    hit = _GRANT_RE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    if len(_GRANT_RE_CACHE) > 8192:
+        _GRANT_RE_CACHE.clear()
+    out = _grant_re_indices_impl(cell, sf_idx, cfi, prb_mask, prb_mask_slot1)
+    _GRANT_RE_CACHE[key] = out
+    return out
+
+
+def _grant_re_indices_impl(cell, sf_idx, cfi, prb_mask, prb_mask_slot1):
     n_sc = cell.n_sc
     if prb_mask_slot1 is None:
         prb_mask_slot1 = prb_mask

@@ -254,10 +254,13 @@ def de_rate_match_turbo(llrs: np.ndarray, K: int, F: int, rv: int = 0) -> np.nda
     return out.reshape(3, K + 4)
 
 
+@functools.lru_cache(maxsize=4096)
 def derm_positions(K: int, F: int, E: int, rv: int = 0) -> np.ndarray:
     """The (E,) flat positions into d.reshape(3*(K+4)) hit by each LLR.
 
     Device-side soft combining: scatter-add llrs at these positions.
+    Cached: a loaded cell re-issues the same (K, F, E, rv) shapes every
+    subframe.  Callers must not mutate the returned array.
     """
     m = turbo_rm_maps(K)
     flat_null = np.zeros(3 * (K + 4), dtype=bool)

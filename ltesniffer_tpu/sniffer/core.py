@@ -49,6 +49,7 @@ class SnifferConfig:
     mcs_csv_path: Optional[str] = None     # mcs_statistic.csv on close()
     heartbeat: bool = False                # per-1000-subframe progress line
     table_every_s: float = 0.0             # >0: periodic DL/UL tables
+    draw_maps: bool = False                # ASCII RB/power maps per subframe
 
 
 @dataclasses.dataclass
@@ -287,6 +288,12 @@ class LTESnifferCore:
         return dict(fe=fe, sf_idx=np.asarray(sf_idx), B=frames.shape[0],
                     base=base, fbase=fbase, stage=1)
 
+    # blind-search device calls run on fixed-size chunks: one compiled
+    # variant per cfi regardless of the outer batch size (the fused
+    # multi-size Viterbi's compile time grows badly with batch), and the
+    # per-chunk fused D2H copies overlap each other in flight
+    SEARCH_CHUNK = 32
+
     def _phase2(self, ctx: dict):
         """Read fused scalars; group by CFI; dispatch the blind search and
         start the candidate-meta D2H."""
@@ -339,25 +346,35 @@ class LTESnifferCore:
                         break
         outs: Dict[int, dict] = {}
         pos_in_group = np.zeros(B, dtype=np.int64)
+        CH = self.SEARCH_CHUNK
         for c in (1, 2, 3):
             sel = np.nonzero(cfi == c)[0]
             if len(sel) == 0:
                 continue
             run, st = self._searcher(int(c))
+            chunks = []
             with prof.span("p2_search"):
-                out = run(fe["grids"][jnp.asarray(sel)],
-                          fe["h"][jnp.asarray(sel)],
-                          fe["noise_var"][jnp.asarray(sel)],
-                          fe["snr_db"][jnp.asarray(sel)],
-                          jnp.asarray(sf_idx[sel]))
-                try:
-                    out["cand_meta"].copy_to_host_async()
-                    out["cce_power"].copy_to_host_async()
-                except Exception:
-                    pass
-            out["_st"] = st
-            out["_sel"] = sel
-            outs[c] = out
+                for a in range(0, len(sel), CH):
+                    sub = sel[a:a + CH]
+                    n = len(sub)
+                    if n < CH and len(sel) > CH:
+                        # pad to the compiled chunk shape (outputs trimmed
+                        # on the host side); small batches keep their own
+                        # (cheap) compiled size
+                        sub = np.concatenate(
+                            [sub, np.full(CH - n, sub[-1], sub.dtype)])
+                    out_c = run(fe["grids"][jnp.asarray(sub)],
+                                fe["h"][jnp.asarray(sub)],
+                                fe["noise_var"][jnp.asarray(sub)],
+                                fe["snr_db"][jnp.asarray(sub)],
+                                jnp.asarray(sf_idx[sub]))
+                    try:
+                        # fused transfer: meta + payload words + cce power
+                        out_c["cand_fused"].copy_to_host_async()
+                    except Exception:
+                        pass
+                    chunks.append((out_c["cand_fused"], n))
+            outs[c] = {"_st": st, "_sel": sel, "_chunks": chunks}
             pos_in_group[sel] = np.arange(len(sel))
         ctx["outs"] = outs
         ctx["pos"] = pos_in_group
@@ -372,11 +389,21 @@ class LTESnifferCore:
         sf_idx = ctx["sf_idx"]
         for c, out in outs.items():
             with prof.span("p3_meta"):
-                out["_host"] = {
-                    "cand_meta": np.asarray(out["cand_meta"]),
-                    "cce_power": np.asarray(out["cce_power"]),
-                    "snr_db": ctx["snr"][out["_sel"]],
-                }
+                fused = np.concatenate(
+                    [np.asarray(dev)[:n] for dev, n in out["_chunks"]])
+            st = out["_st"]
+            n_loc = len(st["locs"])
+            nof_cce = st["nof_cce"]
+            S = (fused.shape[1] - nof_cce) // (n_loc * 3)
+            Bg = fused.shape[0]
+            m = n_loc * S
+            out["_host"] = {
+                "cand_meta": fused[:, :m].reshape(Bg, n_loc, S),
+                "cand_pay": fused[:, m:3 * m].view(np.uint32)
+                                 .reshape(Bg, n_loc, S, 2),
+                "cce_power": fused[:, 3 * m:].view(np.float32),
+                "snr_db": ctx["snr"][out["_sel"]],
+            }
         # ---- pass A: sequential resolve (RNTI-manager state in time order)
         resolved = []
         for i in range(B):
@@ -400,7 +427,7 @@ class LTESnifferCore:
                 self._materialize_payloads(outs, [(c, a) for a in accepted])
                 for a in accepted:
                     if RARNTI_START <= a.rnti <= RARNTI_END and a.fmt != "0":
-                        self._handle_dl_dci(out, gi, c, a, sfn_i, sf)
+                        self._handle_dl_dci(ctx["fe"], i, c, a, sfn_i, sf)
                         a._done = True
             resolved.append((i, c, gi, sf, sfn_i, accepted))
             self.processed += 1
@@ -410,11 +437,14 @@ class LTESnifferCore:
         self._materialize_payloads(outs, refs)
         # ---- pass B: handlers in time order + batched PDSCH jobs
         pending = []
+        fe = ctx["fe"]
         for (i, c, gi, sf, sfn_i, accepted) in resolved:
             out = outs[c]
             self._count_rb_collisions(accepted)
             if self.dci_trace is not None and accepted:
                 self.dci_trace.write(accepted)
+            if self.cfg.draw_maps and accepted:
+                self._draw_rb_map(accepted, sfn_i, sf)
             if self.cfg.decode_pdsch:
                 # DL DCIs first so UL DCI0s can match ACK counts against
                 # this subframe's DL assignments (`SubframeWorker.cc:319-337`)
@@ -426,28 +456,29 @@ class LTESnifferCore:
                     if a.fmt == "0":
                         ul_dcis.append(a)
                     elif RARNTI_START <= a.rnti <= RARNTI_END:
-                        self._handle_dl_dci(out, gi, c, a, sfn_i, sf)
+                        self._handle_dl_dci(fe, i, c, a, sfn_i, sf)
                     else:
-                        job = self._prepare_dl_job(out, gi, c, a, sfn_i, sf,
+                        job = self._prepare_dl_job(i, c, a, sfn_i, sf,
                                                    ack_out=dl_ack)
                         if job is False:
                             pass   # DECODED re-TX: skip (`HARQ.cc:121-127`)
                         elif job is None:
                             # MIMO / degenerate: immediate path
-                            self._handle_dl_dci(out, gi, c, a, sfn_i, sf,
+                            self._handle_dl_dci(fe, i, c, a, sfn_i, sf,
                                                 ack_out=dl_ack)
                         else:
-                            pending.append((c, job))
+                            pending.append(job)
                 for a in ul_dcis:
                     self._handle_ul_dci(a, sfn_i, sf,
                                         nof_ack=dl_ack.get(a.rnti, 0))
             if self.on_subframe:
                 self.on_subframe(dict(out=out, gi=gi, cfi=c, sf=sf,
                                       sfn=sfn_i, accepted=accepted))
-        # dispatch the grouped PDSCH decode on device; the fused-result D2H
+        # dispatch the grouped PDSCH decode on device (ONE call across all
+        # cfi groups: jobs carry their own cfi); the fused-result D2H
         # overlaps the next batch's compute, finished in _phase4
         with prof.span("pdsch_dispatch"):
-            ctx["pdsch"] = self._dispatch_pending(outs, pending)
+            ctx["pdsch"] = self._dispatch_pending(fe, pending)
         self.sf_count += B
         now_tti = trackers.tti_of(self.sfn + self.sf_count // 10,
                                   int(sf_idx[-1]))
@@ -463,27 +494,38 @@ class LTESnifferCore:
         ctx["stage"] = 4
 
     def _materialize_payloads(self, outs: Dict[int, dict], refs):
-        """Replace PayloadRefs with real bit arrays: one device gather +
-        one D2H per cfi group present in `refs`."""
-        by_cfi: Dict[int, list] = {}
-        for c, a in refs:
-            if isinstance(a.payload, dci_search.PayloadRef):
-                by_cfi.setdefault(c, []).append(a)
-        fetch = pdcch_rx.make_payload_fetcher()
-        for c, lst in by_cfi.items():
-            out = outs[c]
-            bv = np.asarray([a.payload.b for a in lst], np.int32)
-            lv = np.asarray([a.payload.loc_idx for a in lst], np.int32)
-            sv = np.asarray([a.payload.size_idx for a in lst], np.int32)
-            with prof.span("p3_payload_fetch"):
-                words = np.asarray(fetch(out["cand_pay"], jnp.asarray(bv),
-                                         jnp.asarray(lv), jnp.asarray(sv)))
-            words = words.view(np.uint32) if words.dtype != np.uint32 else words
-            for m, a in enumerate(lst):
-                a.payload = pdcch_rx.unpack_payload(words[m],
-                                                    a.payload.nbits)
+        """Replace PayloadRefs with real bit arrays.  Payload words came
+        back in the fused candidate transfer, so this is pure host work —
+        no extra device round trip."""
+        with prof.span("p3_payload_fetch"):
+            for c, a in refs:
+                if not isinstance(a.payload, dci_search.PayloadRef):
+                    continue
+                words = outs[c]["_host"]["cand_pay"][
+                    a.payload.b, a.payload.loc_idx, a.payload.size_idx]
+                a.payload = pdcch_rx.unpack_payload(words, a.payload.nbits)
 
     # ------------------------------------------------------------------
+    def _draw_rb_map(self, accepted, sfn: int, sf: int):
+        """ASCII RB-allocation map per subframe (`DCIPrint.cc:40-55`,
+        DCIDrawASCII): one colored rnti%10 digit per occupied PRB."""
+        from . import observability as obs_mod
+        grants = []
+        for a in accepted:
+            if isinstance(a.payload, dci_search.PayloadRef):
+                continue
+            try:
+                g = self._grant_of(a)
+            except (ValueError, KeyError, IndexError):
+                continue
+            if a.fmt == "0":
+                grants.append((a.rnti, (g.prb_start, g.n_prb)))
+            else:
+                grants.append((a.rnti, g.prb_mask))
+        if grants:
+            m = obs_mod.rb_map_of(grants, self.cell.n_prb)
+            print(f"[{sfn:4d}.{sf}] {obs_mod.render_rb_map(m)}")
+
     def _unpack_dci(self, a: dci_search.AcceptedDci):
         """Unpack a DCI once per accepted candidate and cache the result
         (collision counting + handlers share it)."""
@@ -559,7 +601,7 @@ class LTESnifferCore:
         st.new_tx += 1
         st.last_seen_tti = trackers.tti_of(sfn, sf)
 
-    def _prepare_dl_job(self, out, gi: int, cfi: int,
+    def _prepare_dl_job(self, i: int, cfi: int,
                         a: dci_search.AcceptedDci, sfn: int, sf: int,
                         ack_out: Optional[Dict[int, int]] = None):
         """Build a batchable GrantJob for a single-TB DL DCI (None if the
@@ -594,7 +636,7 @@ class LTESnifferCore:
         if tbs <= 0:
             return None
         return pdsch_rx.GrantJob(
-            b=gi, sf_idx=sf, cfi=cfi, rnti=a.rnti, prb_mask=grant.prb_mask,
+            b=i, sf_idx=sf, cfi=cfi, rnti=a.rnti, prb_mask=grant.prb_mask,
             qm=qm, tbs=tbs, rv=grant.rv,
             prb_mask_slot1=grant.prb_mask_slot1, harq_key=harq_key,
             is_retx=is_retx, pa=self._pa_of(a.rnti),
@@ -609,25 +651,21 @@ class LTESnifferCore:
             return 1.0
         return float(10.0 ** (cfg.p_a / 20.0))
 
-    def _dispatch_pending(self, outs, pending):
-        """Launch the grouped device decode for all collected jobs; returns
-        [(out, jobs, PendingPdschBatch)] handles for `_finish_pending`."""
-        by_cfi = {}
-        for c, job in pending:
-            by_cfi.setdefault(c, []).append(job)
-        handles = []
-        for c, jobs in by_cfi.items():
-            out = outs[c]
-            pb = pdsch_rx.dispatch_grants_batch(
-                out["grids"], out["h"], out["noise_var"], self.cell, jobs,
-                soft_buffers=self.soft_buffers)
-            handles.append((out, jobs, pb))
-        return handles
+    def _dispatch_pending(self, fe, pending):
+        """Launch the grouped device decode for all collected jobs (one
+        call across cfi groups — each job carries its cfi); returns
+        [(fe, jobs, PendingPdschBatch)] handles for `_finish_pending`."""
+        if not pending:
+            return []
+        pb = pdsch_rx.dispatch_grants_batch(
+            fe["grids"], fe["h"], fe["noise_var"], self.cell, pending,
+            soft_buffers=self.soft_buffers)
+        return [(fe, pending, pb)]
 
     def _finish_pending(self, handles):
-        """Finish device decodes (one D2H per cfi group), run the batched
+        """Finish device decodes (one fused D2H), run the batched
         unknown-table 256QAM retry, and postprocess every job."""
-        for out, jobs, pb in handles:
+        for fe, jobs, pb in handles:
             res = pdsch_rx.finish_grants_batch(pb,
                                                soft_buffers=self.soft_buffers)
             # unknown-table misses: one batched retry with the 256QAM table
@@ -646,7 +684,7 @@ class LTESnifferCore:
                         retry_idx.append(idx)
             if retry_jobs:
                 res2 = pdsch_rx.decode_grants_batch(
-                    out["grids"], out["h"], out["noise_var"], self.cell,
+                    fe["grids"], fe["h"], fe["noise_var"], self.cell,
                     retry_jobs)
                 for idx, r2 in zip(retry_idx, res2):
                     if r2.crc_ok:
@@ -691,7 +729,7 @@ class LTESnifferCore:
             dci=a, crc_ok=crc_ok, tbs=res.tbs, payload=payload,
             is_retx=is_retx, table=t["table"]))
 
-    def _handle_dl_dci(self, out, gi: int, cfi: int,
+    def _handle_dl_dci(self, fe, i: int, cfi: int,
                        a: dci_search.AcceptedDci, sfn: int, sf: int,
                        ack_out: Optional[Dict[int, int]] = None):
         grant = self._grant_of(a)
@@ -710,7 +748,7 @@ class LTESnifferCore:
                     self.mcs.note_wrong_mimo(a.rnti)
                     return
                 if self.cell.nof_rx_ant >= 2:
-                    return self._handle_dl_dci_mimo(out, gi, cfi, a, grant,
+                    return self._handle_dl_dci_mimo(fe, i, cfi, a, grant,
                                                     sfn, sf, tti)
                 # 2 spatial codewords but a 1-antenna receiver: the grant
                 # cannot be decoded — count it like the reference's
@@ -767,7 +805,7 @@ class LTESnifferCore:
             if tbs <= 0:
                 continue
             r = pdsch_rx.decode_grant(
-                out["grids"], out["h"], out["noise_var"], gi, self.cell, sf,
+                fe["grids"], fe["h"], fe["noise_var"], i, self.cell, sf,
                 cfi, rnti=a.rnti, prb_mask=grant.prb_mask, qm=qm, tbs=tbs,
                 rv=grant.rv, prb_mask_slot1=grant.prb_mask_slot1,
                 soft_buffers=self.soft_buffers if use_buffers else None,
@@ -810,7 +848,7 @@ class LTESnifferCore:
             dci=a, crc_ok=crc_ok, tbs=res.tbs if res else 0,
             payload=payload, is_retx=is_retx, table=used_table))
 
-    def _handle_dl_dci_mimo(self, out, gi: int, cfi: int,
+    def _handle_dl_dci_mimo(self, fe, i: int, cfi: int,
                             a: dci_search.AcceptedDci,
                             grant: dci_mod.DlGrant, sfn: int, sf: int,
                             tti: int):
@@ -840,7 +878,7 @@ class LTESnifferCore:
         if min(tbss) <= 0:
             return
         res = pdsch_rx.decode_grant_mimo(
-            out["grids"], out["h"], out["noise_var"], gi, self.cell, sf, cfi,
+            fe["grids"], fe["h"], fe["noise_var"], i, self.cell, sf, cfi,
             rnti=a.rnti, prb_mask=grant.prb_mask, qms=tuple(qms),
             tbss=tuple(tbss), tm=tm, pmi=pmi if pmi is not None else 0,
             rvs=(grant.rv, grant.rv2),
@@ -1040,6 +1078,12 @@ class LTESnifferCoreUL(LTESnifferCore):
         # them there; only the fused per-grant results come back
         ul_grids = self.ul_frontend(
             np.ascontiguousarray(ul_frames, dtype=np.complex64))
+        if self.cfg.draw_maps:
+            from . import observability as obs_mod
+            pw = np.asarray(pusch_rx.make_power_map(self.cell)(ul_grids))
+            self.last_ul_power = pw
+            for i in range(pw.shape[0]):
+                print(f"[ul pwr] {obs_mod.render_power_map(pw[i])}")
         # process the DL batch with a hook that collects pending UL grants
         idx_holder = {"i": 0}
         collected: List[tuple] = []

@@ -103,6 +103,56 @@ class DciTraceFile:
         self._f.close()
 
 
+# ---------------------------------------------------------------------------
+# ASCII RB-map / power-map rendering (`DCIPrint.cc:40-75`,
+# `SubframeInfoConsumer.cc` DCIDrawASCII / PowerDrawASCII)
+# ---------------------------------------------------------------------------
+_ANSI = ["\x1b[31m", "\x1b[32m", "\x1b[33m", "\x1b[34m", "\x1b[35m",
+         "\x1b[36m", "\x1b[32m", "\x1b[33m", "\x1b[34m", "\x1b[35m"]
+_RESET = "\x1b[0m"
+
+
+def rb_map_of(accepted_grants, n_prb: int):
+    """(n_prb,) int array: owning RNTI per PRB (-1 free).  Input:
+    [(rnti, prb_mask or (start, len)), ...]."""
+    import numpy as np
+    m = np.full(n_prb, -1, np.int64)
+    for rnti, alloc in accepted_grants:
+        if isinstance(alloc, tuple):
+            s, l = alloc
+            m[s:s + l] = rnti
+        else:
+            m[np.asarray(alloc, bool)] = rnti
+    return m
+
+
+def render_rb_map(rb_map, color: bool = True) -> str:
+    """One char per PRB: '_' free, rnti%10 digit (colored per RNTI) else."""
+    out = []
+    for v in rb_map:
+        if v < 0:
+            out.append("_")
+        elif color:
+            out.append(f"{_ANSI[v % 10]}{v % 10}{_RESET}")
+        else:
+            out.append(str(v % 10))
+    return "".join(out)
+
+
+def render_power_map(power_db, color: bool = True) -> str:
+    """Per-PRB power quantized to 0..9 across the subframe's dynamic
+    range (`PowerDrawASCII` analog)."""
+    import numpy as np
+    p = np.asarray(power_db, np.float64)
+    lo, hi = float(np.min(p)), float(np.max(p))
+    span = max(hi - lo, 1e-6)
+    q = np.clip(((p - lo) / span * 9.999).astype(int), 0, 9)
+    if not color:
+        return "".join(str(int(v)) for v in q)
+    return "".join(f"{_ANSI[min(int(v) * len(_ANSI) // 10, 9)]}"
+                   f"{int(v)}{_RESET}" for v in q) + _RESET
+
+
 def format_api_table(api) -> str:
     """Identity table like the reference's api-mode terminal output."""
     lines = ["RNTI    TMSI        IMSI             IMEI             Cause"]

@@ -179,6 +179,15 @@ def _build_pipeline(cell: CellConfig, cfi: int):
                                 * w32, axis=-1, dtype=jnp.uint32))
         out["cand_meta"] = jnp.stack(metas, axis=-1)       # (B, n_loc, S)
         out["cand_pay"] = jnp.stack(pays, axis=-2)         # (B, n_loc, S, 2)
+        # ONE fused host word matrix per batch: meta | payload words | cce
+        # power (bitcast) — a single D2H covers resolve + payloads (the
+        # tunnel's ~25 ms flat latency makes separate transfers ruinous)
+        out["cand_fused"] = jnp.concatenate([
+            out["cand_meta"].reshape(B, -1),
+            jax.lax.bitcast_convert_type(out["cand_pay"],
+                                         jnp.int32).reshape(B, -1),
+            jax.lax.bitcast_convert_type(cce_power, jnp.int32),
+        ], axis=1)
         return out
 
     @jax.jit

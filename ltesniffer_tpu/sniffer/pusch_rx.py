@@ -41,6 +41,22 @@ def make_ul_frontend(cell: CellConfig):
     return run
 
 
+@functools.lru_cache(maxsize=16)
+def make_power_map(cell: CellConfig):
+    """(B, RX, 14, n_sc, 2) grid -> (B, n_prb) average PRB power in dB —
+    the reference's per-PRB SubframePower map (`SubframePower.cc:18-74`,
+    computed on `enb_ul.sf_symbols` each UL subframe, used for UL grant
+    plausibility checks and the PowerDrawASCII rendering)."""
+    @jax.jit
+    def run(grids):
+        p = jnp.sum(grids.astype(jnp.float32) ** 2, axis=-1)  # |x|^2
+        p = jnp.mean(p, axis=(1, 2))               # avg over RX, symbols
+        p = p.reshape(p.shape[0], cell.n_prb, 12).mean(axis=-1)
+        return 10.0 * jnp.log10(jnp.maximum(p, 1e-12))
+
+    return run
+
+
 @dataclasses.dataclass
 class PuschResult:
     rnti: int

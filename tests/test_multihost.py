@@ -108,3 +108,29 @@ def test_ownership_filter_drops_replay_duplicates(tmp_path):
     merged = multihost.merge_accepted([c.results for c in cores], blocks)
     keys = [(r.dci.sfn, r.dci.sf_idx, r.dci.rnti) for r in merged]
     assert len(keys) == len(set(keys)), "replay duplicates leaked"
+
+
+def test_multihost_runner_processes(tmp_path):
+    """scripts/run_multihost.py: real OS-process-per-host run merges to the
+    single-host pcap record set."""
+    import os
+    import subprocess
+    import sys
+    from ltesniffer_tpu.io import iq as iq_mod
+    stream = _build_trace()
+    iq_path = tmp_path / "trace.iq"
+    iq_mod.write_iq(str(iq_path), stream)
+    single, single_recs = _run_single(tmp_path, stream)
+    merged_pcap = tmp_path / "merged.pcap"
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts", "run_multihost.py"),
+         "-i", str(iq_path), "-c", str(CELL.n_id_cell), "-p", "50",
+         "-P", "2", "-n", "2", "-B", "8", "--overlap", "20",
+         "-o", str(merged_pcap), "--workdir", str(tmp_path / "wd")],
+        env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr
+    merged = pcap.read_pcap(str(merged_pcap))
+    assert [_pcap_key(x) for x in merged] == \
+        [_pcap_key(x) for x in single_recs]

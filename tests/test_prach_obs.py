@@ -79,3 +79,37 @@ def test_heartbeat_and_dci_trace(tmp_path):
     tr.close()
     line = open(tracef).read().strip().split("\t")
     assert line == ["1.500000", "100", "3", "66", "1A", "8", "4", "7"]
+
+
+def test_rb_map_rendering():
+    m = observability.rb_map_of([(0x1234, (0, 4)), (0x2222, (6, 2))], 10)
+    assert list(m[:4]) == [0x1234] * 4 and m[4] == -1
+    plain = observability.render_rb_map(m, color=False)
+    assert plain == "0000__88__"   # rnti % 10 digits (4660, 8738)
+    colored = observability.render_rb_map(m)
+    assert "\x1b[" in colored
+
+
+def test_power_map_rendering():
+    import numpy as np
+    p = np.linspace(-20.0, 10.0, 10)
+    s = observability.render_power_map(p, color=False)
+    assert s[0] == "0" and s[-1] == "9" and len(s) == 10
+
+
+def test_subframe_power_map_device():
+    """Per-PRB power map matches a NumPy reference on a synthetic grid
+    (`SubframePower.cc:18-74` analog)."""
+    import numpy as np
+    from ltesniffer_tpu.kernels import cplx
+    from ltesniffer_tpu.sniffer import pusch_rx
+    rng = np.random.default_rng(3)
+    g = (rng.standard_normal((2, 1, 14, CELL.n_sc))
+         + 1j * rng.standard_normal((2, 1, 14, CELL.n_sc))).astype(np.complex64)
+    g[0, :, :, :12] *= 10.0   # hot PRB 0 in subframe 0
+    import jax.numpy as jnp
+    pw = np.asarray(pusch_rx.make_power_map(CELL)(jnp.asarray(cplx.to_ri(g))))
+    assert pw.shape == (2, CELL.n_prb)
+    ref = (np.abs(g[0, 0]) ** 2).mean(axis=0).reshape(CELL.n_prb, 12).mean(-1)
+    np.testing.assert_allclose(pw[0], 10 * np.log10(ref), atol=1e-3)
+    assert pw[0, 0] > pw[0, 1] + 15
