@@ -67,6 +67,51 @@ def q_prime(o_bits: int, beta: float, m_sc: int, g_symbols: int) -> int:
     return min(max(q, o_bits), 4 * m_sc)
 
 
+def cqi_hl_subband_size(n_prb: int) -> int:
+    """Higher-layer-configured subband size k (36.213 Table 7.2.1-3;
+    reference `ul_cqi_hl_get_subband_size`, dl_sniffer_pdsch.c:277-291)."""
+    if n_prb < 7:
+        return 0
+    if n_prb <= 26:
+        return 4
+    if n_prb <= 63:
+        return 6
+    return 8
+
+
+def cqi_hl_subband_count(n_prb: int) -> int:
+    """N = ceil(n_prb / k) (`ul_sniffer_cqi_hl_get_no_subbands`,
+    dl_sniffer_pdsch.c:294-302)."""
+    k = cqi_hl_subband_size(n_prb)
+    return -(-n_prb // k) if k else 0
+
+
+def aperiodic_cqi_bits(n_prb_dl: int, wideband_only: bool = False) -> int:
+    """Aperiodic CQI payload O (rank 1, no PMI): the reference configures
+    subband-HL CQI on every cqi_request (`UL_Sniffer_PUSCH.cc:437-444`) —
+    4-bit wideband CQI + 2-bit differential per subband (36.213 7.2.1
+    mode 3-0); wideband-only (mode 2-0 style) is 4 bits."""
+    if wideband_only:
+        return 4
+    return 4 + 2 * cqi_hl_subband_count(n_prb_dl)
+
+
+def cqi_q_prime(o_cqi: int, i_offset_cqi: int, n_prb: int, tbs: int,
+                n_ri_syms: int = 0) -> int:
+    """Q'_CQI (modulation symbols) per 36.212 5.2.2.6: the CQI+CRC payload
+    scaled by beta_offset^CQI against the data's code rate; capped so data
+    keeps at least half the cells."""
+    if o_cqi <= 0:
+        return 0
+    from ltesniffer_tpu.phy import turbo as turbo_mod
+    L = 8 if o_cqi >= 12 else 0   # CRC8 only for payloads > 11 bits
+    m_sc = 12 * n_prb
+    sum_kr = int(np.sum(turbo_mod.segment_sizes(tbs).K)) if tbs > 0 else 1
+    beta = BETA_CQI[i_offset_cqi & 15]
+    q = int(np.ceil((o_cqi + L) * beta * m_sc * 12 / max(sum_kr, 1)))
+    return min(max(q, o_cqi + L), (12 * m_sc - n_ri_syms) // 2)
+
+
 def uci_positions(m_sc: int, qm: int, n_ri_syms: int, n_ack_syms: int):
     """Returns (ri_cells, ack_cells): flat indices into the (R', 12) group
     matrix (row-major), bottom-up placement per the spec column orders."""

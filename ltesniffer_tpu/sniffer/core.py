@@ -1183,11 +1183,24 @@ class LTESnifferCoreUL(LTESnifferCore):
                 n_ri, n_ack = uci_mod.uci_symbol_counts(
                     g.nof_ack, ri_len, ue_cfg.uci_offset_ack,
                     ue_cfg.uci_offset_ri, init_prb, init_tbs)
+                n_cqi = 0
+                if g.cqi_request:
+                    # aperiodic CQI rides this PUSCH: subband-HL payload
+                    # (the reference enables it on every cqi_request,
+                    # `UL_Sniffer_PUSCH.cc:437-444`); cqi_mode 0 from the
+                    # UE config selects wideband-only sizing
+                    o_cqi = uci_mod.aperiodic_cqi_bits(
+                        self.cell.n_prb,
+                        wideband_only=ue_cfg.cqi_mode == 0)
+                    n_cqi = uci_mod.cqi_q_prime(
+                        o_cqi, ue_cfg.uci_offset_cqi, init_prb, init_tbs,
+                        n_ri_syms=n_ri)
                 jobs.append(pusch_rx.UlGrantJob(
                     b=i, sf_idx=sf, rnti=g.rnti, prb_start=g.prb_start,
                     n_prb=g.n_prb, qm=qm, tbs=tbs,
                     cyclic_shift_cfg=self.cyclic_shift_cfg,
                     dmrs_field=g.dmrs_cs, n_ri_syms=n_ri, n_ack_syms=n_ack,
+                    n_cqi_syms=n_cqi,
                     tag=dict(gi=gi, order=order, tenum=tenum, sfn=sfn,
                              sf=sf, g=g, known=known)))
         return jobs

@@ -133,6 +133,7 @@ def decode_grant_ul(ul_grid_b, cell: CellConfig, sf_idx: int, rnti: int,
                     soft_buffers: Optional[Dict] = None,
                     harq_key: Optional[Tuple] = None,
                     n_ri_syms: int = 0, n_ack_syms: int = 0,
+                    n_cqi_syms: int = 0,
                     n_iter: int = 8) -> PuschResult:
     """Decode one PUSCH grant from an UL subframe grid (RX, 14, n_sc).
 
@@ -153,14 +154,15 @@ def decode_grant_ul(ul_grid_b, cell: CellConfig, sf_idx: int, rnti: int,
                             np.int32(12 * prb_start),
                             jnp.asarray(np.uint32(c_init)))
     llr = np.asarray(llr)
-    if n_ri_syms or n_ack_syms:
+    if n_ri_syms or n_ack_syms or n_cqi_syms:
         from ltesniffer_tpu.phy import uci
         cells_llr = llr.reshape(m_sc * 12, qm).copy()
         _, ack_cells = uci.uci_positions(m_sc, qm, n_ri_syms, n_ack_syms)
         cells_llr[ack_cells] = 0.0           # punctured by HARQ-ACK
-        data_cells = uci.data_group_map(m_sc, n_ri_syms)
+        # CQI occupies the head of the multiplexed stream (36.212 5.2.2.8)
+        data_cells = uci.data_group_map(m_sc, n_ri_syms)[n_cqi_syms:]
         llr = cells_llr[data_cells].reshape(-1)
-        n_re_data = 12 * m_sc - n_ri_syms
+        n_re_data = 12 * m_sc - n_ri_syms - n_cqi_syms
     else:
         n_re_data = 12 * m_sc
     res = _decode_tb_from_llrs(llr, rnti, tbs, qm, rv, n_re_data,
@@ -194,6 +196,7 @@ class UlGrantJob:
     dmrs_field: int = 0
     n_ri_syms: int = 0
     n_ack_syms: int = 0
+    n_cqi_syms: int = 0     # aperiodic CQI occupies the data stream's head
     tag: object = None
 
 
@@ -378,7 +381,7 @@ def dispatch_grants_ul_batch(ul_grids, cell: CellConfig,
         for ji in jis:
             j = jobs[ji]
             base = base_of[ji]
-            if j.n_ri_syms or j.n_ack_syms:
+            if j.n_ri_syms or j.n_ack_syms or j.n_cqi_syms:
                 # fold the UCI cell selection into absolute source indices
                 _, ack_cells = uci_mod.uci_positions(m_sc, qm, j.n_ri_syms,
                                                      j.n_ack_syms)
@@ -387,8 +390,11 @@ def dispatch_grants_ul_batch(ul_grids, cell: CellConfig,
                 ack = np.zeros(12 * m_sc, bool)
                 ack[ack_cells] = True
                 cell_src[ack[data_cells]] = zero_idx     # ACK punctures
+                # aperiodic CQI rides the head of the multiplexed stream
+                # (36.212 5.2.2.8: g = [CQI, data] before interleaving)
+                cell_src = cell_src[j.n_cqi_syms:]
                 src_full = cell_src.reshape(-1).astype(np.int64)
-                n_re_data = 12 * m_sc - j.n_ri_syms
+                n_re_data = 12 * m_sc - j.n_ri_syms - j.n_cqi_syms
             else:
                 src_full = base + np.arange(12 * m_sc * qm, dtype=np.int64)
                 n_re_data = 12 * m_sc

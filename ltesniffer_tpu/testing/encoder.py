@@ -269,13 +269,17 @@ def build_ul_subframe(cell: CellConfig, sf_idx: int, grants,
         qm = gr["qm"]
         n_ri = gr.get("n_ri_syms", 0)
         n_ack = gr.get("n_ack_syms", 0)
-        G = (12 * m_sc - n_ri) * qm
+        n_cqi = gr.get("n_cqi_syms", 0)
+        G = (12 * m_sc - n_ri - n_cqi) * qm
         coded, _ = encode_pdsch_bits(gr["tb_bits"], qm, G, gr.get("rv", 0))
-        if n_ri or n_ack:
+        if n_ri or n_ack or n_cqi:
             cells = uci.data_group_map(m_sc, n_ri)
             ri_cells, ack_cells = uci.uci_positions(m_sc, qm, n_ri, n_ack)
             mat = np.zeros((m_sc * 12, qm), dtype=np.uint8)
-            mat[cells] = coded.reshape(-1, qm)
+            # CQI coded bits head the multiplexed stream (36.212 5.2.2.8)
+            for c in cells[:n_cqi]:
+                mat[c] = rng_uci.integers(0, 2, qm)
+            mat[cells[n_cqi:]] = coded.reshape(-1, qm)
             for c in ri_cells:      # RI symbols (content irrelevant to data)
                 mat[c] = rng_uci.integers(0, 2, qm)
             for c in ack_cells:     # ACK punctures the data at these cells

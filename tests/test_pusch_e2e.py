@@ -126,3 +126,44 @@ def test_uci_beta_offset_tables():
     # capped at 4 * M_sc
     _, n_cap = uci.uci_symbol_counts(20, 0, 14, 0, 1, 16)
     assert n_cap <= 4 * 12
+
+
+def test_cqi_multiplexed_grant_decodes():
+    """Aperiodic CQI heads the multiplexed stream (36.212 5.2.2.8): a
+    grant with CQI + RI + ACK symbols still decodes the data, and the
+    CQI-blind decode fails (sizes genuinely shift the data)."""
+    from ltesniffer_tpu.phy import uci
+    rng = np.random.default_rng(17)
+    n_prb, qm = 10, 2
+    tbs = tables.tbs_lookup(6, n_prb)
+    n_ri, n_ack = uci.uci_symbol_counts(1, 1, 10, 12, n_prb, tbs)
+    o_cqi = uci.aperiodic_cqi_bits(CELL.n_prb)
+    n_cqi = uci.cqi_q_prime(o_cqi, 15, n_prb, tbs, n_ri_syms=n_ri)
+    assert n_cqi > 0
+    gr = _grant(0x7301, 4, n_prb, qm, 6, rng, n_ri_syms=n_ri,
+                n_ack_syms=n_ack, n_cqi_syms=n_cqi)
+    grid = _tx_rx([gr], 2, rng)
+    res = pusch_rx.decode_grant_ul(grid, CELL, 2, gr["rnti"], 4, n_prb, qm,
+                                   tbs, n_ri_syms=n_ri, n_ack_syms=n_ack,
+                                   n_cqi_syms=n_cqi)
+    assert res.crc_ok
+    np.testing.assert_array_equal(res.tb_bits, gr["tb_bits"])
+    blind = pusch_rx.decode_grant_ul(grid, CELL, 2, gr["rnti"], 4, n_prb,
+                                     qm, tbs, n_ri_syms=n_ri,
+                                     n_ack_syms=n_ack)
+    assert not blind.crc_ok
+
+
+def test_cqi_sizing_helpers():
+    from ltesniffer_tpu.phy import uci
+    # 36.213 Table 7.2.1-3 subband sizes (reference dl_sniffer_pdsch.c)
+    assert uci.cqi_hl_subband_size(7) == 4
+    assert uci.cqi_hl_subband_size(26) == 4
+    assert uci.cqi_hl_subband_size(27) == 6
+    assert uci.cqi_hl_subband_size(63) == 6
+    assert uci.cqi_hl_subband_size(64) == 8
+    assert uci.cqi_hl_subband_size(110) == 8
+    assert uci.cqi_hl_subband_count(50) == 9    # ceil(50/6)
+    assert uci.cqi_hl_subband_count(100) == 13  # ceil(100/8)
+    assert uci.aperiodic_cqi_bits(50) == 4 + 2 * 9
+    assert uci.aperiodic_cqi_bits(50, wideband_only=True) == 4

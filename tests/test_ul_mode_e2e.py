@@ -96,6 +96,11 @@ def test_uci_ack_ri_through_core(tmp_path):
     n_ri, n_ack = uci.uci_symbol_counts(
         1, 1, ue_cfg.uci_offset_ack, ue_cfg.uci_offset_ri, n_prb, tbs)
     assert n_ri > 0 and n_ack > 0
+    # aperiodic CQI rides the same PUSCH (cqi_request=1): subband-HL sizing
+    o_cqi = uci.aperiodic_cqi_bits(50)
+    n_cqi = uci.cqi_q_prime(o_cqi, ue_cfg.uci_offset_cqi, n_prb, tbs,
+                            n_ri_syms=n_ri)
+    assert n_cqi > 0
 
     h_dl = encoder.flat_channel(CELL, 1, rng)
     dl_frames, ul_frames = [], []
@@ -126,7 +131,7 @@ def test_uci_ack_ri_through_core(tmp_path):
             ug = encoder.build_ul_subframe(CELL, j, [dict(
                 rnti=rnti, prb_start=prb_start, n_prb=n_prb, qm=qm,
                 tb_bits=tb, dmrs_field=2, n_ri_syms=n_ri,
-                n_ack_syms=n_ack)])
+                n_ack_syms=n_ack, n_cqi_syms=n_cqi)])
         else:
             ug = np.zeros((1, 14, CELL.n_sc), np.complex64)
         un = ug + 0.03 / np.sqrt(2) * (rng.standard_normal(ug.shape)
