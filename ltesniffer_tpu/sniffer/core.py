@@ -1070,7 +1070,16 @@ class LTESnifferCoreUL(LTESnifferCore):
                 break
             b = min(a + self.cfg.batch_size, total)
             self._process_dual(dl[a:b], ul[a:b], sf_idx[a:b].astype(np.int32))
+        self._finish_ul_pending()
         return self.ul_results
+
+    def _finish_ul_pending(self):
+        from . import pusch_rx
+        prev = getattr(self, "_ul_pending", None)
+        if prev is not None:
+            self._ul_pending = None
+            jobs, pb = prev
+            self._finish_ul(jobs, pusch_rx.finish_grants_ul_batch(pb))
 
     def _process_dual(self, dl_frames, ul_frames, sf_idx):
         from . import pusch_rx
@@ -1102,13 +1111,16 @@ class LTESnifferCoreUL(LTESnifferCore):
             self.process_batch(dl_frames, sf_idx)
         finally:
             self.on_subframe = old_hook
-        # grouped UL decode: dispatch every grant (and table-trial variant)
-        # in one device pass, finish with one fused D2H
+        # grouped UL decode, pipelined one batch deep: batch k-1's fused
+        # D2H is read only now — after batch k's DL device work was
+        # dispatched — so it overlapped that compute.  finish(k-1) runs
+        # before build(k): table learning / trial budgets that batch k-1's
+        # results update gate batch k's cascade decisions.
+        self._finish_ul_pending()
         jobs = self._build_ul_jobs(collected)
         if jobs:
             pb = pusch_rx.dispatch_grants_ul_batch(ul_grids, self.cell, jobs)
-            res = pusch_rx.finish_grants_ul_batch(pb)
-            self._finish_ul(jobs, res)
+            self._ul_pending = (jobs, pb)
 
     # -- PRACH occasion map, 36.211 Table 5.7.1-2 (format 0, FDD) ---------
     _PRACH_SF = {0: (1,), 1: (4,), 2: (7,), 3: (1,), 4: (4,), 5: (7,),
