@@ -33,6 +33,26 @@ def to_i16(x: np.ndarray):
     return np.round(ri / scale).astype(np.int16), np.float32(scale)
 
 
+def to_i8_packed(x: np.ndarray):
+    """numpy complex64 frames (B, RX, n) -> ((B, RX, n/2) int32 packed
+    int8 IQ, (B,) float32 per-subframe scales).
+
+    8-bit IQ with per-subframe AGC: ~42 dB SNR below each subframe's peak —
+    above the ~35 dB a 256QAM grant needs and at the fidelity of real SDR
+    front-ends.  Packing 4 int8 into one int32 word matters on this
+    backend: the tunnel H2D cost scales with element COUNT more than bytes,
+    so the packed stream moves ~4x faster than (..., 2) int16 at half the
+    bytes.  Device-side unpack is 4 shift/mask ops (`frontend.run_i8`)."""
+    ri = to_ri(x)                                  # (B, RX, n, 2) f32
+    B = ri.shape[0]
+    peak = np.max(np.abs(ri.reshape(B, -1)), axis=1)
+    peak[peak == 0] = 1.0
+    scales = (peak / 126.0).astype(np.float32)
+    q = np.round(ri / scales[:, None, None, None]).astype(np.int8)
+    packed = np.ascontiguousarray(q).reshape(B, ri.shape[1], -1).view(np.int32)
+    return packed, scales
+
+
 def from_ri(x: np.ndarray) -> np.ndarray:
     """(..., 2) float32 -> numpy complex64 (host side)."""
     x = np.ascontiguousarray(x, dtype=np.float32)

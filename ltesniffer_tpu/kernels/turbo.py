@@ -184,14 +184,20 @@ def make_decoder(K: int, n_iter: int = 8, windowed: bool | None = None):
     """Jitted turbo decoder for code-block size K.
 
     fn(d_llrs (B, 3, K+4)) -> (bits (B, K) uint8, llr (B, K) float32).
-    ``windowed`` (default: K >= 512) selects the parallel-window BCJR
-    (`_bcjr_pw2`: butterfly ACS, fwd+bwd fused in one scan).  A Pallas
-    BCJR variant exists (`_make_decoder_pallas`) but measures slower than
-    the XLA formulation on this backend (per-grid-step launch overhead), so
-    the XLA path is the default on all platforms.
+    ``windowed`` (default: whenever a window of >= 8 divides K, i.e. every
+    36.212 ladder size) selects the parallel-window BCJR (`_bcjr_pw2`:
+    butterfly ACS, fwd+bwd fused in one scan) — sequential depth W instead
+    of K (a full-scan K=448 decode is ~7000 sequential trellis steps; the
+    W=8 windowed one is ~130 for the same iteration count).  Window
+    boundary metrics inherit across iterations (NII), so short windows
+    converge by ~8 iterations; the escalation retry path covers the
+    marginal-SNR residue.  A Pallas BCJR variant exists
+    (`_make_decoder_pallas`) but measures slower than the XLA formulation
+    on this backend (per-grid-step launch overhead), so the XLA path is the
+    default on all platforms.
     """
     if windowed is None:
-        windowed = K >= 512
+        windowed = _window_len(K) >= 8
     if windowed:
         return _make_decoder_pw(K, n_iter)
     return _make_decoder_full(K, n_iter)

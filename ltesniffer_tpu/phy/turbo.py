@@ -274,3 +274,25 @@ def derm_positions(K: int, F: int, E: int, rv: int = 0) -> np.ndarray:
     rank = np.searchsorted(nonnull_pos, k0)
     w_idx = nonnull_pos[(rank + np.arange(E)) % L]
     return m["w_src"][w_idx]
+
+
+@functools.lru_cache(maxsize=4096)
+def derm_inverse(K: int, F: int, E: int, rv: int = 0):
+    """Inverse de-rate-match map: (3*(K+4), R) int32 where row p lists the
+    E-indices whose LLRs accumulate into stream position p (-1 padding).
+
+    The gather formulation of `derm_positions`' scatter-add: on TPU a
+    segment-sum scatter serializes, while d[p] = sum_r llr[inv[p, r]] is a
+    plain vectorized gather.  R is the max repetition count (> 1 only when
+    E exceeds the circular buffer, i.e. code rate < mother rate).
+    """
+    pos = derm_positions(K, F, E, rv)
+    n_out = 3 * (K + 4)
+    counts = np.bincount(pos, minlength=n_out)
+    R = max(1, int(counts.max()))
+    inv = np.full((n_out, R), -1, dtype=np.int32)
+    order = np.argsort(pos, kind="stable")
+    sp = pos[order]
+    rank = np.arange(E) - np.searchsorted(sp, sp, side="left")
+    inv[sp, rank] = order
+    return inv

@@ -44,7 +44,13 @@ class SnifferConfig:
     api_mode: int = -1
     max_harq_retx_buffers: int = 4096
     use_native: bool = True   # C++ resolver/RNTI manager when available
+    # IQ ingest quantization: "i8" (packed int8, per-subframe AGC, 4x fewer
+    # H2D elements), "i16" (global scale), or "f32" (none).  ingest_int16
+    # is the legacy alias for "i16".
+    ingest: str = "i8"
     ingest_int16: bool = True  # quantized-IQ H2D (halves transfer bytes)
+    turbo_iters: int = 4       # primary-pass turbo iterations
+    turbo_iters_max: int = 12  # escalation retry for CRC failures
     dci_trace_path: Optional[str] = None   # tab-separated per-DCI trace
     mcs_csv_path: Optional[str] = None     # mcs_statistic.csv on close()
     heartbeat: bool = False                # per-1000-subframe progress line
@@ -134,11 +140,12 @@ class LTESnifferCore:
                     print(obs_mod.format_ul_table(self.mcs))
 
     # ------------------------------------------------------------------
-    def _searcher(self, cfi: int):
-        if cfi not in self._searchers:
-            self._searchers[cfi] = pdcch_rx.make_search_from_grids(
-                self.cell, cfi)
-        return self._searchers[cfi]
+    def _searcher(self):
+        """The cfi-dynamic single-program blind search (one compiled
+        pipeline for all control-region sizes; cfi rides as data)."""
+        if not self._searchers:
+            self._searchers["u"] = pdcch_rx.make_unified_search(self.cell)
+        return self._searchers["u"]
 
     # ------------------------------------------------------------------
     def run_file(self, path: str, sf_offset: int = 0, sf_idx0: int = 0,
@@ -213,9 +220,15 @@ class LTESnifferCore:
         frames = samples[:total * n].reshape(total, 1, n)
         sf_idx = (sf_idx0 + np.arange(total)) % 10
         scale = None
-        if self.cfg.ingest_int16:
-            from ltesniffer_tpu.kernels import cplx
+        # legacy alias: ingest_int16=False forces the unquantized path
+        quant = self.cfg.ingest if self.cfg.ingest_int16 else "f32"
+        from ltesniffer_tpu.kernels import cplx
+        if quant == "i8":
+            frames, scale = cplx.to_i8_packed(frames)
+        elif quant == "i16":
             frames, scale = cplx.to_i16(frames)
+        else:
+            quant = "f32"
         from collections import deque
         q: deque = deque()
         for a in range(0, total, self.cfg.batch_size):
@@ -223,16 +236,17 @@ class LTESnifferCore:
                 break
             b = min(a + self.cfg.batch_size, total)
             blk = frames[a:b]
+            blk_scale = scale[a:b] if quant == "i8" else scale
             if scale is None and abs(self.est_cfo) > 2e-3:
                 # worker-estimated CFO fed back into the stream, mirroring
                 # the reference's est_cfo channel (`SubframeWorker.cc:203`);
-                # pipelining adds ~2 batches of feedback latency (int16
+                # pipelining adds ~2 batches of feedback latency (quantized
                 # ingest applies the same rotation on device instead)
                 rot = np.exp(-2j * np.pi * self.est_cfo
                              * np.arange(n) / self.cell.n_fft)
                 blk = (blk * rot[None, None, :]).astype(np.complex64)
             q.append(self._phase1(blk, sf_idx[a:b].astype(np.int32),
-                                  scale=scale))
+                                  scale=blk_scale, quant=quant))
             if len(q) >= 2:
                 self._phase2(q[-2])
             # finish(k) must run before build(k+1): trackers (HARQ/MCS) that
@@ -261,10 +275,15 @@ class LTESnifferCore:
 
     # ------------------------------------------------------------------
     def _phase1(self, frames: np.ndarray, sf_idx: np.ndarray,
-                scale=None) -> dict:
+                scale=None, quant: str = "i16") -> dict:
         """Dispatch frontend (OFDM+chest+PCFICH); start the scalar D2H."""
         with prof.span("p1_frontend"):
-            if scale is not None:
+            if scale is not None and quant == "i8":
+                # packed-int8 quantized IQ + on-device CFO de-rotation
+                fe = self.frontend.jitted_i8(
+                    frames, np.asarray(sf_idx), scale,
+                    np.float32(self.est_cfo))
+            elif scale is not None:
                 # int16 quantized IQ + on-device CFO de-rotation
                 fe = self.frontend.jitted_i16(
                     frames, np.asarray(sf_idx), scale,
@@ -344,41 +363,44 @@ class LTESnifferCore:
                                     - (ctx["fbase"] + i) // 10) % 1024
                         self._mib_synced = True
                         break
-        outs: Dict[int, dict] = {}
-        pos_in_group = np.zeros(B, dtype=np.int64)
+        run, st = self._searcher()
+        cfi_idx = np.clip(cfi, 1, 3).astype(np.int32) - 1
         CH = self.SEARCH_CHUNK
-        for c in (1, 2, 3):
-            sel = np.nonzero(cfi == c)[0]
-            if len(sel) == 0:
-                continue
-            run, st = self._searcher(int(c))
-            chunks = []
-            with prof.span("p2_search"):
-                for a in range(0, len(sel), CH):
-                    sub = sel[a:a + CH]
-                    n = len(sub)
-                    if n < CH and len(sel) > CH:
-                        # pad to the compiled chunk shape (outputs trimmed
-                        # on the host side); small batches keep their own
-                        # (cheap) compiled size
-                        sub = np.concatenate(
-                            [sub, np.full(CH - n, sub[-1], sub.dtype)])
-                    out_c = run(fe["grids"][jnp.asarray(sub)],
-                                fe["h"][jnp.asarray(sub)],
-                                fe["noise_var"][jnp.asarray(sub)],
-                                fe["snr_db"][jnp.asarray(sub)],
-                                jnp.asarray(sf_idx[sub]))
-                    try:
-                        # fused transfer: meta + payload words + cce power
-                        out_c["cand_fused"].copy_to_host_async()
-                    except Exception:
-                        pass
-                    chunks.append((out_c["cand_fused"], n))
-            outs[c] = {"_st": st, "_sel": sel, "_chunks": chunks}
-            pos_in_group[sel] = np.arange(len(sel))
-        ctx["outs"] = outs
-        ctx["pos"] = pos_in_group
+        chunks = []   # (cand_fused device array, rows-to-skip-at-head)
+        with prof.span("p2_search"):
+            if B <= CH:
+                out_c = run(fe["grids"], fe["h"], fe["noise_var"],
+                            fe["snr_db"], jnp.asarray(sf_idx),
+                            jnp.asarray(cfi_idx))
+                self._async_d2h(out_c["cand_fused"])
+                chunks.append((out_c["cand_fused"], 0))
+            else:
+                a = 0
+                while a < B:
+                    skip = 0
+                    if a + CH > B:
+                        # overlap the tail chunk backward: static slice
+                        # shapes keep one compiled program; the host drops
+                        # the re-decoded head rows
+                        skip = CH - (B - a)
+                        a = B - CH
+                    out_c = run(fe["grids"][a:a + CH], fe["h"][a:a + CH],
+                                fe["noise_var"][a:a + CH],
+                                fe["snr_db"][a:a + CH],
+                                jnp.asarray(sf_idx[a:a + CH]),
+                                jnp.asarray(cfi_idx[a:a + CH]))
+                    self._async_d2h(out_c["cand_fused"])
+                    chunks.append((out_c["cand_fused"], skip))
+                    a += CH
+        ctx["outs"] = {"_st": st, "_chunks": chunks}
         ctx["stage"] = 2
+
+    @staticmethod
+    def _async_d2h(dev):
+        try:
+            dev.copy_to_host_async()
+        except Exception:
+            pass
 
     def _phase3(self, ctx: dict):
         """Read candidate meta; resolve in time order; fetch accepted
@@ -387,37 +409,34 @@ class LTESnifferCore:
         outs = ctx["outs"]
         B = ctx["B"]
         sf_idx = ctx["sf_idx"]
-        for c, out in outs.items():
-            with prof.span("p3_meta"):
-                fused = np.concatenate(
-                    [np.asarray(dev)[:n] for dev, n in out["_chunks"]])
-            st = out["_st"]
-            n_loc = len(st["locs"])
-            nof_cce = st["nof_cce"]
-            S = (fused.shape[1] - nof_cce) // (n_loc * 3)
-            Bg = fused.shape[0]
-            m = n_loc * S
-            out["_host"] = {
-                "cand_meta": fused[:, :m].reshape(Bg, n_loc, S),
-                "cand_pay": fused[:, m:3 * m].view(np.uint32)
-                                 .reshape(Bg, n_loc, S, 2),
-                "cce_power": fused[:, 3 * m:].view(np.float32),
-                "snr_db": ctx["snr"][out["_sel"]],
-            }
+        out = outs
+        st = out["_st"]
+        with prof.span("p3_meta"):
+            fused = np.concatenate(
+                [np.asarray(dev)[skip:] for dev, skip in out["_chunks"]])
+        n_loc = len(st["locs"])
+        nof_cce = st["nof_cce"]
+        S = (fused.shape[1] - nof_cce) // (n_loc * 3)
+        Bg = fused.shape[0]
+        m = n_loc * S
+        out["_host"] = {
+            "cand_meta": fused[:, :m].reshape(Bg, n_loc, S),
+            "cand_pay": fused[:, m:3 * m].view(np.uint32)
+                             .reshape(Bg, n_loc, S, 2),
+            "cce_power": fused[:, 3 * m:].view(np.float32),
+            "snr_db": ctx["snr"],
+        }
         # ---- pass A: sequential resolve (RNTI-manager state in time order)
         resolved = []
         for i in range(B):
             c = int(ctx["cfi"][i])
-            if c not in outs:
-                continue
-            out = outs[c]
-            st = out["_st"]
-            gi = int(ctx["pos"][i])
+            gi = i
             sf = int(sf_idx[i])
             sfn_i = (self.sfn + (ctx["fbase"] + i) // 10) % 1024
             with prof.span("resolve"):
                 accepted = self.search.resolve_subframe(
-                    out["_host"], gi, st["locs"], st["nof_cce"], sf,
+                    out["_host"], gi, st["locs"],
+                    st["nof_cce_of"][min(max(c, 1), 3) - 1], sf,
                     sfn=sfn_i)
             # RAR acceptance gates later subframes' RNTI validation:
             # handle it synchronously (rare; pays one extra fetch)
@@ -439,7 +458,6 @@ class LTESnifferCore:
         pending = []
         fe = ctx["fe"]
         for (i, c, gi, sf, sfn_i, accepted) in resolved:
-            out = outs[c]
             self._count_rb_collisions(accepted)
             if self.dci_trace is not None and accepted:
                 self.dci_trace.write(accepted)
@@ -493,15 +511,15 @@ class LTESnifferCore:
         self._tick_observers(ctx["B"])
         ctx["stage"] = 4
 
-    def _materialize_payloads(self, outs: Dict[int, dict], refs):
+    def _materialize_payloads(self, outs: dict, refs):
         """Replace PayloadRefs with real bit arrays.  Payload words came
         back in the fused candidate transfer, so this is pure host work —
         no extra device round trip."""
         with prof.span("p3_payload_fetch"):
-            for c, a in refs:
+            for _c, a in refs:
                 if not isinstance(a.payload, dci_search.PayloadRef):
                     continue
-                words = outs[c]["_host"]["cand_pay"][
+                words = outs["_host"]["cand_pay"][
                     a.payload.b, a.payload.loc_idx, a.payload.size_idx]
                 a.payload = pdcch_rx.unpack_payload(words, a.payload.nbits)
 
@@ -659,15 +677,31 @@ class LTESnifferCore:
             return []
         pb = pdsch_rx.dispatch_grants_batch(
             fe["grids"], fe["h"], fe["noise_var"], self.cell, pending,
-            soft_buffers=self.soft_buffers)
+            soft_buffers=self.soft_buffers, n_iter=self.cfg.turbo_iters)
         return [(fe, pending, pb)]
 
     def _finish_pending(self, handles):
-        """Finish device decodes (one fused D2H), run the batched
-        unknown-table 256QAM retry, and postprocess every job."""
+        """Finish device decodes (one fused D2H), escalate CRC failures to
+        a high-iteration turbo retry, run the batched unknown-table 256QAM
+        retry, and postprocess every job."""
         for fe, jobs, pb in handles:
             res = pdsch_rx.finish_grants_batch(pb,
                                                soft_buffers=self.soft_buffers)
+            # iteration escalation: the primary pass runs few turbo
+            # iterations (srsRAN-style early stop, amortized: most CBs
+            # converge immediately); failures re-decode from the stored
+            # combined LLRs at up to `turbo_iters_max` (reference cap 12,
+            # `SubframeWorker.cc:365`)
+            if self.cfg.turbo_iters_max > self.cfg.turbo_iters:
+                esc_idx = [idx for idx, r in enumerate(res)
+                           if r is not None and not r.crc_ok
+                           and idx in pb.seg_of]
+                if esc_idx:
+                    with prof.span("pdsch_escalate"):
+                        n_fixed = pdsch_rx.escalate_failures(
+                            pb, esc_idx, self.cfg.turbo_iters_max,
+                            soft_buffers=self.soft_buffers)
+                    del n_fixed
             # unknown-table misses: one batched retry with the 256QAM table
             # (`DL_Sniffer_PDSCH.cc:1090-1243` dual-table trial)
             retry_jobs, retry_idx = [], []
@@ -685,7 +719,7 @@ class LTESnifferCore:
             if retry_jobs:
                 res2 = pdsch_rx.decode_grants_batch(
                     fe["grids"], fe["h"], fe["noise_var"], self.cell,
-                    retry_jobs)
+                    retry_jobs, n_iter=self.cfg.turbo_iters_max)
                 for idx, r2 in zip(retry_idx, res2):
                     if r2.crc_ok:
                         res[idx] = r2

@@ -191,7 +191,10 @@ class DciBlindSearch:
     def _inspect(self, ctx, ncce: int, l: int, max_depth: int,
                  enable_discovery: bool, parent) -> int:
         cce_map = ctx["cce_map"]
-        if ncce >= ctx["nof_cce"]:
+        # span check (not just start): with the unified cfi-dynamic search
+        # the location list is the cfi=3 superset, so a location must fit
+        # entirely inside this subframe's control region
+        if ncce + (1 << l) > ctx["nof_cce"]:
             return 0
         loc = cce_map[ncce][l]
         if loc is None or loc.occupied or loc.checked or not loc.sufficient_power:

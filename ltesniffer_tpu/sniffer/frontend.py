@@ -74,6 +74,26 @@ def make_frontend(cell: CellConfig):
         x = jnp.stack([xr * c - xi * s, xr * s + xi * c], axis=-1)
         return run_ri(x, sf_idx)
 
+    @jax.jit
+    def run_i8(samples_p32, sf_idx, scales, cfo):
+        """Packed-int8 ingest: (B, RX, n/2) int32 words of 4 int8 IQ bytes
+        + per-subframe scales (B,).  4 shift/mask ops unpack on device; the
+        packed words quarter the tunnel's element-count-bound H2D cost vs
+        int16 pairs (see `cplx.to_i8_packed`)."""
+        p = samples_p32
+        B = p.shape[0]
+        bytes_ = [((p >> (8 * k)) & 0xFF) for k in range(4)]
+        b = jnp.stack(bytes_, axis=-1)                 # (B, RX, n/2, 4)
+        b = ((b ^ 0x80) - 0x80).astype(jnp.float32)    # sign-extend int8
+        x = b.reshape(B, p.shape[1], -1, 2) * scales[:, None, None, None]
+        n = x.shape[-2]
+        theta = (-2.0 * np.pi / cell.n_fft) * cfo * jnp.arange(
+            n, dtype=jnp.float32)
+        c, s = jnp.cos(theta), jnp.sin(theta)
+        xr, xi = x[..., 0], x[..., 1]
+        x = jnp.stack([xr * c - xi * s, xr * s + xi * c], axis=-1)
+        return run_ri(x, sf_idx)
+
     def run(samples, sf_idx):
         x = np.asarray(samples)
         if np.iscomplexobj(x):
@@ -82,4 +102,5 @@ def make_frontend(cell: CellConfig):
 
     run.jitted_ri = run_ri
     run.jitted_i16 = run_i16
+    run.jitted_i8 = run_i8
     return run

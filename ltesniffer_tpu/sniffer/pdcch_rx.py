@@ -68,6 +68,151 @@ def _static_maps(cell: CellConfig, cfi: int):
     }
 
 
+def _candidate_decode_tail(out: dict, llr, cce_power, size_consts,
+                           n_loc: int, B: int):
+    """Shared trace-time tail of the blind search: de-rate-match every
+    payload size (constant-matrix matmul), ONE fused Viterbi scan over all
+    (size x location x subframe) candidates, CRC-XOR RNTIs, and the fused
+    host word matrix (meta | payload words | cce power) whose single D2H
+    covers resolve + payloads (the tunnel's flat latency makes separate
+    transfers ruinous)."""
+    flats = []
+    for D, per_lvl in size_consts.items():
+        d_llrs = jnp.zeros((B, n_loc, 3 * D), dtype=jnp.float32)
+        for l, (sel, g, W) in per_lvl.items():
+            cand = llr[:, g.reshape(-1)].reshape(B, len(sel), -1)  # (B,n_l,E)
+            d = jnp.einsum("bne,ek->bnk", cand, W)            # (B,n_l,3D)
+            d_llrs = d_llrs.at[:, sel].set(d)
+        # e_to_d maps into stream-major (3, D) flat layout
+        flats.append(d_llrs.reshape(B * n_loc, 3, D))
+    all_bits = viterbi.viterbi_decode_tb_multi(flats)
+    w16 = jnp.asarray([1 << (15 - i) for i in range(16)], jnp.int32)
+    metas = []
+    pays = []
+    for D, bits in zip(size_consts.keys(), all_bits):
+        bits = bits.reshape(B, n_loc, D)
+        payload = bits[..., :D - 16]
+        calc = crc.batched_crc_to_int(payload, crc.CRC16)
+        rx16 = jnp.sum(bits[..., D - 16:].astype(jnp.int32) * w16, axis=-1)
+        rnti = (calc ^ rx16).astype(jnp.int32)
+        out[f"bits_{D}"] = bits
+        out[f"rnti_{D}"] = rnti
+        # candidate meta word: rnti (16 bit) | payload bit0 << 16 — all
+        # the host resolver needs pre-acceptance (0/1A flag per
+        # `falcon_pdcch.c:146-152`); payloads are fetched post-resolve
+        metas.append(rnti | (payload[..., 0].astype(jnp.int32) << 16))
+        # packed payload words (device-resident until fetched)
+        pad = jnp.pad(payload, ((0, 0), (0, 0), (0, 64 - (D - 16))))
+        w32 = jnp.asarray((1 << np.arange(32, dtype=np.int64))
+                          .astype(np.uint32))
+        pays.append(jnp.sum(pad.reshape(B, n_loc, 2, 32).astype(jnp.uint32)
+                            * w32, axis=-1, dtype=jnp.uint32))
+    out["cand_meta"] = jnp.stack(metas, axis=-1)       # (B, n_loc, S)
+    out["cand_pay"] = jnp.stack(pays, axis=-2)         # (B, n_loc, S, 2)
+    out["cand_fused"] = jnp.concatenate([
+        out["cand_meta"].reshape(B, -1),
+        jax.lax.bitcast_convert_type(out["cand_pay"],
+                                     jnp.int32).reshape(B, -1),
+        jax.lax.bitcast_convert_type(cce_power, jnp.int32),
+    ], axis=1)
+    return out
+
+
+def _size_consts_of(st):
+    """Per payload size D: {aggregation level: (loc sel, llr gathers, de-RM
+    matmul)} — grouped so every gather in the batch has uniform shape."""
+    locs = st["locs"]
+    lvl_of = np.array([l for (l, _) in locs])
+    size_consts = {}
+    for D, m in st["size_maps"].items():
+        per_lvl = {}
+        for l in range(4):
+            sel = np.nonzero(lvl_of == l)[0]
+            if len(sel) == 0:
+                continue
+            g = np.stack([m["gather"][i] for i in sel]).astype(np.int32)
+            W = m["mats"][sel[0]]                                 # same for all
+            per_lvl[l] = (sel.astype(np.int32), g, W)
+        size_consts[D] = per_lvl
+    return size_consts
+
+
+@functools.lru_cache(maxsize=8)
+def _build_unified(cell: CellConfig):
+    """Single jitted blind search handling any per-subframe CFI.
+
+    The per-cfi pipelines compile one fused Viterbi program per control
+    region size and force the host to group subframes by detected CFI
+    (gathers + one device call per group).  This variant makes the CFI a
+    *data* axis: RE-gather tables and scrambling-sign masks for cfi 1..3
+    are stacked constants indexed by a per-subframe cfi_idx, the location
+    list is the cfi=3 superset, and stream bits beyond a subframe's actual
+    control region get sign 0 -> zero LLRs -> zero CCE power, so the host
+    resolver's power gate (+ explicit span check) rejects them.  One
+    compiled program, one device call per chunk, no host-side grouping.
+    """
+    st3 = _static_maps(cell, 3)
+    n_loc = len(st3["locs"])
+    nof_cce3 = st3["nof_cce"]
+    M = len(st3["gather_idx"])
+    n_bits_tot = 8 * (M // 4)
+    gidx = np.zeros((3, M), np.int32)
+    sign_mask = np.zeros((3, n_bits_tot), np.float32)
+    nof_cce_of = []
+    for c in (1, 2, 3):
+        stc = _static_maps(cell, c)
+        gc = stc["gather_idx"].astype(np.int32)
+        gidx[c - 1, :len(gc)] = gc
+        sign_mask[c - 1, :8 * (len(gc) // 4)] = 1.0
+        nof_cce_of.append(stc["nof_cce"])
+    # scrambling: c_init depends only on (sf, cell), so the cfi=3-length
+    # sequence is a prefix-superset of every cfi's sequence
+    scr_j = np.stack([
+        1.0 - 2.0 * grid_mod.pdcch_scrambling(cell, sf, n_bits_tot)
+        for sf in range(10)]).astype(np.float32)              # (10, n_bits)
+    size_consts = _size_consts_of(st3)
+    use_sfbc = cell.nof_ports >= 2
+
+    @jax.jit
+    def run_from_grids(grids, h, noise_var, snr_db, sf_idx, cfi_idx):
+        B = grids.shape[0]
+        gflat = grids.reshape(B, grids.shape[1], -1, 2)
+        hflat = h.reshape(B, h.shape[1], h.shape[2], -1, 2)
+        gi = jnp.asarray(gidx)[cfi_idx]                       # (B, M)
+        y = jnp.take_along_axis(
+            gflat, jnp.broadcast_to(gi[:, None, :, None],
+                                    (B, gflat.shape[1], M, 2)), axis=2)
+        hh = jnp.take_along_axis(
+            hflat, jnp.broadcast_to(
+                gi[:, None, None, :, None],
+                (B, hflat.shape[1], hflat.shape[2], M, 2)), axis=3)
+        if use_sfbc:
+            x = chest.equalize_sfbc(y, hh, noise_var)         # (B, M)
+        else:
+            x = chest.equalize_port0(y, hh[:, :, 0], noise_var)
+        signs = (jnp.asarray(scr_j)[sf_idx]
+                 * jnp.asarray(sign_mask)[cfi_idx])           # (B, n_bits)
+        llr = demapper.qpsk_llr(x) * signs
+        cce_power = jnp.mean(
+            jnp.abs(llr[:, :72 * nof_cce3]).reshape(B, nof_cce3, 72),
+            axis=-1)
+        out = {"snr_db": snr_db, "noise_var": noise_var,
+               "cce_power": cce_power, "cfo": jnp.zeros((B,), jnp.float32),
+               "grids": grids, "h": h}
+        _candidate_decode_tail(out, llr, cce_power, size_consts, n_loc, B)
+        return out
+
+    st = dict(st3)
+    st["nof_cce_of"] = tuple(nof_cce_of)
+    return run_from_grids, st
+
+
+def make_unified_search(cell: CellConfig):
+    """(run(grids, h, noise_var, snr_db, sf_idx, cfi_idx), static maps):
+    the cfi-dynamic single-program blind search (see `_build_unified`)."""
+    return _build_unified(cell)
+
+
 @functools.lru_cache(maxsize=16)
 def make_payload_fetcher():
     """Jitted gather: (cand_pay (B, n_loc, S, 2) u32, b (M,), loc (M,),
@@ -110,18 +255,7 @@ def _build_pipeline(cell: CellConfig, cfi: int):
         1.0 - 2.0 * grid_mod.pdcch_scrambling(cell, sf, n_bits_tot)
         for sf in range(10)]).astype(np.float32)                 # (10, 8*m_quad)
     # group candidates by aggregation level for uniform-shape gathers
-    lvl_of = np.array([l for (l, _) in locs])
-    size_consts = {}
-    for D, m in st["size_maps"].items():
-        per_lvl = {}
-        for l in range(4):
-            sel = np.nonzero(lvl_of == l)[0]
-            if len(sel) == 0:
-                continue
-            g = np.stack([m["gather"][i] for i in sel]).astype(np.int32)
-            W = m["mats"][sel[0]]                                 # same for all
-            per_lvl[l] = (sel.astype(np.int32), g, W)
-        size_consts[D] = per_lvl
+    size_consts = _size_consts_of(st)
 
     use_sfbc = cell.nof_ports >= 2
 
@@ -144,50 +278,7 @@ def _build_pipeline(cell: CellConfig, cfi: int):
         out = {"snr_db": snr_db, "noise_var": noise_var,
                "cce_power": cce_power, "cfo": jnp.zeros((B,), jnp.float32),
                "grids": grids, "h": h}   # reused by the PDSCH phase
-        # de-rate-match every size, then ONE fused Viterbi scan over all
-        # (size × location × subframe) candidates (see viterbi.py)
-        flats = []
-        for D, per_lvl in size_consts.items():
-            d_llrs = jnp.zeros((B, n_loc, 3 * D), dtype=jnp.float32)
-            for l, (sel, g, W) in per_lvl.items():
-                cand = llr[:, g.reshape(-1)].reshape(B, len(sel), -1)  # (B,n_l,E)
-                d = jnp.einsum("bne,ek->bnk", cand, W)            # (B,n_l,3D)
-                d_llrs = d_llrs.at[:, sel].set(d)
-            # e_to_d maps into stream-major (3, D) flat layout
-            flats.append(d_llrs.reshape(B * n_loc, 3, D))
-        all_bits = viterbi.viterbi_decode_tb_multi(flats)
-        w16 = jnp.asarray([1 << (15 - i) for i in range(16)], jnp.int32)
-        metas = []
-        pays = []
-        for D, bits in zip(size_consts.keys(), all_bits):
-            bits = bits.reshape(B, n_loc, D)
-            payload = bits[..., :D - 16]
-            calc = crc.batched_crc_to_int(payload, crc.CRC16)
-            rx16 = jnp.sum(bits[..., D - 16:].astype(jnp.int32) * w16, axis=-1)
-            rnti = (calc ^ rx16).astype(jnp.int32)
-            out[f"bits_{D}"] = bits
-            out[f"rnti_{D}"] = rnti
-            # candidate meta word: rnti (16 bit) | payload bit0 << 16 — all
-            # the host resolver needs pre-acceptance (0/1A flag per
-            # `falcon_pdcch.c:146-152`); payloads are fetched post-resolve
-            metas.append(rnti | (payload[..., 0].astype(jnp.int32) << 16))
-            # packed payload words (device-resident until fetched)
-            pad = jnp.pad(payload, ((0, 0), (0, 0), (0, 64 - (D - 16))))
-            w32 = jnp.asarray((1 << np.arange(32, dtype=np.int64))
-                              .astype(np.uint32))
-            pays.append(jnp.sum(pad.reshape(B, n_loc, 2, 32).astype(jnp.uint32)
-                                * w32, axis=-1, dtype=jnp.uint32))
-        out["cand_meta"] = jnp.stack(metas, axis=-1)       # (B, n_loc, S)
-        out["cand_pay"] = jnp.stack(pays, axis=-2)         # (B, n_loc, S, 2)
-        # ONE fused host word matrix per batch: meta | payload words | cce
-        # power (bitcast) — a single D2H covers resolve + payloads (the
-        # tunnel's ~25 ms flat latency makes separate transfers ruinous)
-        out["cand_fused"] = jnp.concatenate([
-            out["cand_meta"].reshape(B, -1),
-            jax.lax.bitcast_convert_type(out["cand_pay"],
-                                         jnp.int32).reshape(B, -1),
-            jax.lax.bitcast_convert_type(cce_power, jnp.int32),
-        ], axis=1)
+        _candidate_decode_tail(out, llr, cce_power, size_consts, n_loc, B)
         return out
 
     @jax.jit

@@ -299,32 +299,57 @@ def _pow2(n: int, lo: int = 1) -> int:
     return v
 
 
+_INV_TAB_CACHE: Dict[tuple, object] = {}
+
+
+def _inv_tab_device(combos: tuple):
+    """Device-resident unique de-rate-match inverse tables for a group.
+
+    combos: sorted tuple of (K, F, E, rv).  Returns a (U_pad, 3*(K+4), R)
+    int32 device array (-1 padding).  Cached: a loaded cell re-issues the
+    same grant shapes every frame, so the steady-state H2D cost is zero
+    (the former per-dispatch (n, E) position matrix was tens of MB per
+    batch through the tunnel)."""
+    tab = _INV_TAB_CACHE.get(combos)
+    if tab is None:
+        invs = [turbo_mod.derm_inverse(*c) for c in combos]
+        R = max(i.shape[1] for i in invs)
+        U_pad = _pow2(len(invs), 1)
+        arr = np.full((U_pad, invs[0].shape[0], R), -1, np.int32)
+        for u, i in enumerate(invs):
+            arr[u, :, :i.shape[1]] = i
+        if len(_INV_TAB_CACHE) > 256:
+            _INV_TAB_CACHE.clear()
+        tab = jnp.asarray(arr)
+        _INV_TAB_CACHE[combos] = tab
+    return tab
+
+
 @functools.lru_cache(maxsize=256)
-def _derm_turbo_fn(K: int, e_max: int, n_rows: int, with_prior: bool,
+def _derm_turbo_fn(K: int, R: int, n_u: int, n_rows: int, with_prior: bool,
                    n_iter: int):
     """Jitted device finisher for one code-block-size group: de-rate-match
-    scatter + filler LLRs + (HARQ prior add) + turbo decode + CB CRC24B +
-    bit packing.  The only host-visible output is a small (n, 1+W) u32
-    matrix [crc_rem | packed bits]; the combined LLRs stay on device for
-    HARQ buffer storage.
+    (gather formulation) + filler LLRs + (HARQ prior add) + turbo decode +
+    CB CRC24B + bit packing.  The only host-visible output is a small
+    (n, 1+W) u32 matrix [crc_rem | packed bits]; the combined LLRs stay on
+    device for HARQ buffer storage.
 
-    (flat_llr (N,), starts (n,), pos (n, e_max) i32 [-1 pad], F (n,) i32
-     [, prior (n, 3, K+4)]) -> (fused (n, 1+W) u32, d (n, 3, K+4) f32)
+    (flat_llr (N,), starts (n,), u_idx (n,) i32, inv_tab (n_u, 3Kp, R) i32,
+     F (n,) i32 [, prior (n, 3, K+4)]) -> (fused (n, 1+W) u32,
+     d (n, 3, K+4) f32)
     """
     Kp = K + 4
     Wk = (K + 31) // 32
     dec = kturbo.make_decoder(K, n_iter)
     w32 = (1 << np.arange(32, dtype=np.int64)).astype(np.uint32)
 
-    def body(flat_llr, starts, pos, F, prior):
+    def body(flat_llr, starts, u_idx, inv_tab, F, prior):
         n = n_rows
-        j = jnp.arange(e_max, dtype=jnp.int32)
-        seg = flat_llr[starts[:, None] + j[None, :]]          # (n, e_max)
-        valid = pos >= 0
-        d = jnp.zeros((n, 3 * Kp), jnp.float32)
-        d = d.at[jnp.arange(n)[:, None], jnp.where(valid, pos, 0)].add(
-            jnp.where(valid, seg, 0.0))
-        d = d.reshape(n, 3, Kp)
+        inv = inv_tab[u_idx]                                  # (n, 3Kp, R)
+        valid = inv >= 0
+        gidx = starts[:, None, None] + jnp.where(valid, inv, 0)
+        vals = jnp.where(valid, flat_llr[gidx], 0.0)          # (n, 3Kp, R)
+        d = jnp.sum(vals, axis=-1).reshape(n, 3, Kp)
         fm = jnp.arange(Kp)[None, :] < F[:, None]             # (n, Kp)
         d = d.at[:, 0, :].set(jnp.where(fm, 1e4, d[:, 0, :]))
         d = d.at[:, 1, :].set(jnp.where(fm, 1e4, d[:, 1, :]))
@@ -340,8 +365,32 @@ def _derm_turbo_fn(K: int, e_max: int, n_rows: int, with_prior: bool,
         return fused, d
 
     if with_prior:
-        return jax.jit(lambda fl, s, p, f, pr: body(fl, s, p, f, pr))
-    return jax.jit(lambda fl, s, p, f: body(fl, s, p, f, None))
+        return jax.jit(lambda fl, s, u, t, f, pr: body(fl, s, u, t, f, pr))
+    return jax.jit(lambda fl, s, u, t, f: body(fl, s, u, t, f, None))
+
+
+@functools.lru_cache(maxsize=64)
+def _turbo_only_fn(K: int, n_rows: int, n_iter: int):
+    """Jitted iteration-escalation retry: decode directly from stored
+    (n, 3, K+4) combined LLRs (no re-equalize / de-rate-match) at a higher
+    iteration count — the batched analog of srsRAN's per-CB early stop
+    (primary pass runs few iterations; only CRC failures pay for more)."""
+    Wk = (K + 31) // 32
+    dec = kturbo.make_decoder(K, n_iter)
+    w32 = (1 << np.arange(32, dtype=np.int64)).astype(np.uint32)
+
+    @jax.jit
+    def run(d):
+        n = n_rows
+        bits, _ = dec(d)
+        rem = crc.batched_crc(bits, crc.CRC24B).astype(jnp.int32)
+        remsum = jnp.sum(rem, axis=-1).astype(jnp.uint32)
+        pad = jnp.pad(bits, ((0, 0), (0, Wk * 32 - K)))
+        packed = jnp.sum(pad.reshape(n, Wk, 32).astype(jnp.uint32)
+                         * w32, axis=-1, dtype=jnp.uint32)
+        return jnp.concatenate([remsum[:, None], packed], axis=1)
+
+    return run
 
 
 @dataclasses.dataclass
@@ -356,6 +405,11 @@ class PendingPdschBatch:
     group_rows: list          # [(K, Wk, [(ji, ci, F), ...]), ...] row order
     fused_dev: object         # (N_rows, 1 + W_max) u32 device array
     n_re_of: Dict[int, int] = dataclasses.field(default_factory=dict)
+    # (ji, ci) -> LazyRow into the dispatch's combined-LLR outputs, kept for
+    # the iteration-escalation retry (decode failures re-run at higher
+    # n_iter straight from these, skipping equalize/de-rate-match)
+    d_of: Dict[Tuple[int, int], object] = dataclasses.field(
+        default_factory=dict)
 
 
 def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
@@ -451,6 +505,7 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
     # --- per-K device dispatch (bucketed shapes) -------------------------
     group_rows = []
     fused_parts = []
+    d_of: Dict[Tuple[int, int], LazyRow] = {}
     w_max = max(((K + 31) // 32) for K in by_k) if by_k else 0
     for K, rows in sorted(by_k.items()):
         Wk = (K + 31) // 32
@@ -498,35 +553,41 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
             if not sub:
                 continue
             n_b = _pow2(len(sub), 4)
-            e_max = _pow2(max(r[3] for r in sub), 256)
             _t2 = prof.time.perf_counter()
+            combos = tuple(sorted({(K, r[2], r[3], r[5]) for r in sub}))
+            u_of = {c: u for u, c in enumerate(combos)}
+            tab = _inv_tab_device(combos)
             starts = np.zeros(n_b, np.int32)
             F_arr = np.zeros(n_b, np.int32)
-            pos = np.full((n_b, e_max), -1, np.int32)
+            u_idx = np.zeros(n_b, np.int32)
             priors = []
             for r_i, (ji, ci_, F, E, start, rv, key_ci, _rt) in enumerate(sub):
                 starts[r_i] = start
                 F_arr[r_i] = F
-                pos[r_i, :E] = turbo_mod.derm_positions(K, F, E, rv)
+                u_idx[r_i] = u_of[(K, F, E, rv)]
                 if has_prior:
                     priors.append(_buffer_value(soft_buffers[key_ci]))
             prof.add("pd_pos_build", prof.time.perf_counter() - _t2)
-            fn = _derm_turbo_fn(K, e_max, n_b, has_prior, n_iter)
+            fn = _derm_turbo_fn(K, int(tab.shape[2]), int(tab.shape[0]),
+                                n_b, has_prior, n_iter)
             with prof.span("pd_turbo_call"):
                 if has_prior:
                     while len(priors) < n_b:
                         priors.append(np.zeros((3, K + 4), np.float32))
                     prior = jnp.stack(priors)
-                    fused, d = fn(flat, jnp.asarray(starts), jnp.asarray(pos),
+                    fused, d = fn(flat, jnp.asarray(starts),
+                                  jnp.asarray(u_idx), tab,
                                   jnp.asarray(F_arr), prior)
                 else:
-                    fused, d = fn(flat, jnp.asarray(starts), jnp.asarray(pos),
+                    fused, d = fn(flat, jnp.asarray(starts),
+                                  jnp.asarray(u_idx), tab,
                                   jnp.asarray(F_arr))
             # store combined LLRs as the new HARQ soft buffers: lazy
             # (parent array, row) refs — zero device ops here
             for r_i, (ji, ci_, F, E, start, rv, key_ci, _rt) in enumerate(sub):
                 if key_ci is not None:
                     soft_buffers[key_ci] = LazyRow(d, r_i)
+                d_of[(ji, ci_)] = LazyRow(d, r_i)
             if Wk < w_max:
                 fused = jnp.pad(fused, ((0, 0), (0, w_max - Wk)))
             fused_parts.append(fused[:len(sub)])
@@ -539,7 +600,7 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
         except Exception:
             pass
     return PendingPdschBatch(jobs, results, seg_of, group_rows, fused_dev,
-                             n_re_of)
+                             n_re_of, d_of=d_of)
 
 
 def finish_grants_batch(pb: PendingPdschBatch,
@@ -570,30 +631,113 @@ def finish_grants_batch(pb: PendingPdschBatch,
     for ji, j in enumerate(jobs):
         if results[ji] is not None or ji not in pb.seg_of:
             continue
-        seg = pb.seg_of[ji]
-        cb_ok, parts = [], []
-        for ci_, K in enumerate(seg.K):
-            blk = bits_of[(ji, ci_)]
-            F = seg.F if ci_ == 0 else 0
-            if seg.C > 1:
-                ok = rem_of[(ji, ci_)] == 0
-                data = blk[F:K - turbo_mod.SEG_CRC]
-            else:
-                ok = True
-                data = blk[F:]
-            cb_ok.append(bool(ok))
-            parts.append(data)
-        tb_with_crc = np.concatenate(parts)[:seg.B]
-        tb_ok = (all(cb_ok)
-                 and crc.crc_bits(tb_with_crc, crc.CRC24A).sum() == 0)
-        tb_bits = tb_with_crc[:j.tbs] if tb_ok else None
-        if tb_ok and soft_buffers is not None and j.harq_key is not None:
-            for ci_ in range(seg.C):
-                soft_buffers.pop((j.harq_key, ci_), None)
-        results[ji] = PdschResult(j.rnti, j.tbs, bool(tb_ok), tb_bits,
-                                  cb_ok, [], pb.n_re_of.get(ji, 0))
+        results[ji] = _assemble_tb(pb, ji, bits_of, rem_of, soft_buffers)
     prof.add("pf_assemble", prof.time.perf_counter() - _t3)
     return results
+
+
+def _assemble_tb(pb: PendingPdschBatch, ji: int, bits_of, rem_of,
+                 soft_buffers) -> PdschResult:
+    """Reassemble one job's transport block from per-CB hard bits + CB CRC
+    remainders; TB CRC24A on host; pop HARQ buffers on success."""
+    j = pb.jobs[ji]
+    seg = pb.seg_of[ji]
+    cb_ok, parts = [], []
+    for ci_, K in enumerate(seg.K):
+        blk = bits_of[(ji, ci_)]
+        F = seg.F if ci_ == 0 else 0
+        if seg.C > 1:
+            ok = rem_of[(ji, ci_)] == 0
+            data = blk[F:K - turbo_mod.SEG_CRC]
+        else:
+            ok = True
+            data = blk[F:]
+        cb_ok.append(bool(ok))
+        parts.append(data)
+    tb_with_crc = np.concatenate(parts)[:seg.B]
+    tb_ok = (all(cb_ok)
+             and crc.crc_bits(tb_with_crc, crc.CRC24A).sum() == 0)
+    tb_bits = tb_with_crc[:j.tbs] if tb_ok else None
+    if tb_ok and soft_buffers is not None and j.harq_key is not None:
+        for ci_ in range(seg.C):
+            soft_buffers.pop((j.harq_key, ci_), None)
+    return PdschResult(j.rnti, j.tbs, bool(tb_ok), tb_bits,
+                       cb_ok, [], pb.n_re_of.get(ji, 0))
+
+
+def _gather_lazy_rows(refs: List[LazyRow]):
+    """Stack LazyRow references into one (n, ...) device array with one
+    `take` per distinct parent (not one slice op per row)."""
+    by_parent: Dict[int, list] = {}
+    parents: Dict[int, object] = {}
+    for i, r in enumerate(refs):
+        by_parent.setdefault(id(r.arr), []).append((i, r.i))
+        parents[id(r.arr)] = r.arr
+    parts, order = [], []
+    for pid, items in by_parent.items():
+        rows = jnp.asarray(np.array([it[1] for it in items], np.int32))
+        parts.append(jnp.take(parents[pid], rows, axis=0))
+        order.extend(it[0] for it in items)
+    stacked = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    inv = np.argsort(np.array(order))
+    return jnp.take(stacked, jnp.asarray(inv.astype(np.int32)), axis=0)
+
+
+def escalate_failures(pb: PendingPdschBatch, esc_idx: List[int],
+                      n_iter: int,
+                      soft_buffers: Optional[Dict] = None) -> int:
+    """Re-decode CRC-failed jobs at a higher turbo iteration count straight
+    from the dispatch's stored combined LLRs (no re-equalize / de-rate-
+    match).  Updates `pb.results` in place; returns the number of jobs
+    flipped to CRC-ok.  The batched analog of srsRAN's per-CB early-stop
+    (iterate-until-CRC) under the reference's 12-iteration cap
+    (`SubframeWorker.cc:365`)."""
+    by_k: Dict[int, list] = {}
+    for ji in esc_idx:
+        seg = pb.seg_of.get(ji)
+        if seg is None:
+            continue
+        for ci_, K in enumerate(seg.K):
+            ref = pb.d_of.get((ji, ci_))
+            if ref is not None:
+                by_k.setdefault(K, []).append((ji, ci_, ref))
+    bits_of: Dict[Tuple[int, int], np.ndarray] = {}
+    rem_of: Dict[Tuple[int, int], int] = {}
+    pend = []
+    for K, rows in sorted(by_k.items()):
+        n_b = _pow2(len(rows), 4)
+        d = _gather_lazy_rows([r[2] for r in rows])
+        if n_b > d.shape[0]:
+            d = jnp.pad(d, ((0, n_b - d.shape[0]), (0, 0), (0, 0)))
+        fn = _turbo_only_fn(K, n_b, n_iter)
+        fused = fn(d)
+        try:
+            fused.copy_to_host_async()
+        except Exception:
+            pass
+        pend.append((K, rows, fused))
+    shifts = np.arange(32, dtype=np.uint32)
+    for K, rows, fused in pend:
+        host = np.asarray(fused)[:len(rows)]
+        Wk = (K + 31) // 32
+        packed = host[:, 1:1 + Wk]
+        bits = ((packed[:, :, None] >> shifts) & 1).astype(np.uint8)
+        bits = bits.reshape(len(rows), Wk * 32)[:, :K]
+        for r_i, (ji, ci_, _) in enumerate(rows):
+            bits_of[(ji, ci_)] = bits[r_i]
+            rem_of[(ji, ci_)] = int(host[r_i, 0])
+    n_fixed = 0
+    for ji in esc_idx:
+        if ji not in pb.seg_of:
+            continue
+        if any((ji, ci_) not in bits_of
+               for ci_ in range(pb.seg_of[ji].C)):
+            continue
+        r2 = _assemble_tb(pb, ji, bits_of, rem_of, soft_buffers)
+        if r2.crc_ok:
+            pb.results[ji] = r2
+            n_fixed += 1
+    return n_fixed
 
 
 def decode_grants_batch(grids, h, noise_var, cell: CellConfig,

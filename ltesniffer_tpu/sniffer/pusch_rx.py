@@ -263,13 +263,69 @@ def _eq_batch_ul_fn(cell: CellConfig, n_prb: int, qm: int, n_rows: int):
     return run
 
 
+@functools.lru_cache(maxsize=4096)
+def _ul_rel_inv(combo: tuple) -> np.ndarray:
+    """Relative source-index inverse map for one UL code block.
+
+    combo is ("lin", K, F, E, rv) for plain data, or
+    ("uci", K, F, E, rv, off, m_sc, qm, n_ri, n_ack, n_cqi) when UCI
+    multiplexing reshuffles the data cells.  Returns (3*(K+4), R) int32:
+    stream position p accumulates flat[base + rel[p, r]] (-1 = skip; ACK
+    punctures and pad slots contribute zero).  Composing the UCI cell map
+    with the de-rate-match inverse keeps the whole per-dispatch H2D down
+    to three small per-row vectors."""
+    from ltesniffer_tpu.phy import uci as uci_mod
+    kind = combo[0]
+    if kind == "lin":
+        _, K, F, E, rv = combo
+        return turbo_mod.derm_inverse(K, F, E, rv)
+    _, K, F, E, rv, off, m_sc, qm, n_ri, n_ack, n_cqi = combo
+    _, ack_cells = uci_mod.uci_positions(m_sc, qm, n_ri, n_ack)
+    data_cells = uci_mod.data_group_map(m_sc, n_ri)
+    cell_src = (data_cells[:, None] * qm
+                + np.arange(qm)).astype(np.int64)
+    ack = np.zeros(12 * m_sc, bool)
+    ack[ack_cells] = True
+    cell_src[ack[data_cells]] = -1           # ACK punctures read zero
+    # aperiodic CQI rides the head of the multiplexed stream
+    # (36.212 5.2.2.8: g = [CQI, data] before interleaving)
+    cell_src = cell_src[n_cqi:]
+    rel = cell_src.reshape(-1)
+    inv = turbo_mod.derm_inverse(K, F, E, rv)
+    out = np.where(inv >= 0, rel[np.clip(off + inv, 0, len(rel) - 1)], -1)
+    return out.astype(np.int32)
+
+
+_UL_INV_CACHE: Dict[tuple, object] = {}
+
+
+def _ul_inv_tab_device(combos: tuple):
+    """Stack + device-put the unique rel-inverse tables of one dispatch
+    group (cached; see `pdsch_rx._inv_tab_device`)."""
+    tab = _UL_INV_CACHE.get(combos)
+    if tab is None:
+        invs = [_ul_rel_inv(c) for c in combos]
+        R = max(i.shape[1] for i in invs)
+        U_pad = _pow2(len(invs), 1)
+        arr = np.full((U_pad, invs[0].shape[0], R), -1, np.int32)
+        for u, i in enumerate(invs):
+            arr[u, :, :i.shape[1]] = i
+        if len(_UL_INV_CACHE) > 256:
+            _UL_INV_CACHE.clear()
+        tab = jnp.asarray(arr)
+        _UL_INV_CACHE[combos] = tab
+    return tab
+
+
 @functools.lru_cache(maxsize=256)
-def _derm_turbo_ul_fn(K: int, e_max: int, n_rows: int, n_iter: int):
-    """UL finisher for one code-block-size group: per-row GATHER from the
-    flat LLR pool (absolute `src` indices fold the UCI data-cell selection
-    and ACK punctures into the fetch) + de-rate-match scatter + turbo +
-    CB CRC24B + bit packing.  src rows point padded/punctured entries at
-    the pool's guaranteed-zero tail element.
+def _derm_turbo_ul_fn(K: int, R: int, n_u: int, n_rows: int, n_iter: int):
+    """UL finisher for one code-block-size group: gather-formulated
+    de-rate-match from the flat LLR pool (per-row base + cached inverse
+    table folding the UCI data-cell selection and ACK punctures) + turbo +
+    CB CRC24B + bit packing.
+
+    (flat (N,), base (n,), u_idx (n,), inv_tab (n_u, 3Kp, R), F (n,))
+    -> fused (n, 1+W) u32.
     """
     from ltesniffer_tpu.phy import crc as crc_mod
     from ltesniffer_tpu.kernels import turbo as kturbo
@@ -279,14 +335,13 @@ def _derm_turbo_ul_fn(K: int, e_max: int, n_rows: int, n_iter: int):
     w32 = (1 << np.arange(32, dtype=np.int64)).astype(np.uint32)
 
     @jax.jit
-    def run(flat, src, pos, F):
+    def run(flat, base, u_idx, inv_tab, F):  # noqa: ANN001
         n = n_rows
-        seg = flat[src]                                       # (n, e_max)
-        valid = pos >= 0
-        d = jnp.zeros((n, 3 * Kp), jnp.float32)
-        d = d.at[jnp.arange(n)[:, None], jnp.where(valid, pos, 0)].add(
-            jnp.where(valid, seg, 0.0))
-        d = d.reshape(n, 3, Kp)
+        inv = inv_tab[u_idx]                                  # (n, 3Kp, R)
+        valid = inv >= 0
+        gidx = base[:, None, None] + jnp.where(valid, inv, 0)
+        vals = jnp.where(valid, flat[gidx], 0.0)
+        d = jnp.sum(vals, axis=-1).reshape(n, 3, Kp)
         fm = jnp.arange(Kp)[None, :] < F[:, None]
         d = d.at[:, 0, :].set(jnp.where(fm, 1e4, d[:, 0, :]))
         d = d.at[:, 1, :].set(jnp.where(fm, 1e4, d[:, 1, :]))
@@ -370,35 +425,17 @@ def dispatch_grants_ul_batch(ul_grids, cell: CellConfig,
     # pad to a power of two (bounds compile variants) + guaranteed-zero tail
     flat_pad = _pow2(int(flat.shape[0]) + 1, 1 << 12)
     flat = jnp.pad(flat, (0, flat_pad - int(flat.shape[0])))
-    zero_idx = flat_pad - 1
 
     # --- collect code blocks grouped by K -------------------------------
     seg_of: Dict[int, object] = {}
     by_k: Dict[int, list] = {}
-    src_of: Dict[int, np.ndarray] = {}
     for (n_prb, qm), jis in sorted(groups.items()):
         m_sc = 12 * n_prb
         for ji in jis:
             j = jobs[ji]
-            base = base_of[ji]
-            if j.n_ri_syms or j.n_ack_syms or j.n_cqi_syms:
-                # fold the UCI cell selection into absolute source indices
-                _, ack_cells = uci_mod.uci_positions(m_sc, qm, j.n_ri_syms,
-                                                     j.n_ack_syms)
-                data_cells = uci_mod.data_group_map(m_sc, j.n_ri_syms)
-                cell_src = base + data_cells[:, None] * qm + np.arange(qm)
-                ack = np.zeros(12 * m_sc, bool)
-                ack[ack_cells] = True
-                cell_src[ack[data_cells]] = zero_idx     # ACK punctures
-                # aperiodic CQI rides the head of the multiplexed stream
-                # (36.212 5.2.2.8: g = [CQI, data] before interleaving)
-                cell_src = cell_src[j.n_cqi_syms:]
-                src_full = cell_src.reshape(-1).astype(np.int64)
-                n_re_data = 12 * m_sc - j.n_ri_syms - j.n_cqi_syms
-            else:
-                src_full = base + np.arange(12 * m_sc * qm, dtype=np.int64)
-                n_re_data = 12 * m_sc
-            src_of[ji] = src_full
+            uci = (j.n_ri_syms, j.n_ack_syms, j.n_cqi_syms)
+            n_re_data = (12 * m_sc - j.n_ri_syms - j.n_cqi_syms
+                         if any(uci) else 12 * m_sc)
             Gbits = n_re_data * qm
             seg = turbo_mod.segment_sizes(j.tbs)
             seg_of[ji] = seg
@@ -406,7 +443,8 @@ def dispatch_grants_ul_batch(ul_grids, cell: CellConfig,
             off = 0
             for ci_, (K, E) in enumerate(zip(seg.K, es)):
                 F = seg.F if ci_ == 0 else 0
-                by_k.setdefault(K, []).append((ji, ci_, F, E, off))
+                by_k.setdefault(K, []).append(
+                    (ji, ci_, F, E, off, m_sc, qm))
                 off += E
 
     group_rows = []
@@ -415,18 +453,32 @@ def dispatch_grants_ul_batch(ul_grids, cell: CellConfig,
     for K, rows in sorted(by_k.items()):
         Wk = (K + 31) // 32
         n_b = _pow2(len(rows), 2)
-        e_max = _pow2(max(r[3] for r in rows), 256)
-        src = np.full((n_b, e_max), zero_idx, np.int64)
-        pos = np.full((n_b, e_max), -1, np.int32)
+        base_arr = np.zeros(n_b, np.int32)
+        u_idx = np.zeros(n_b, np.int32)
         F_arr = np.zeros(n_b, np.int32)
-        for r_i, (ji, ci_, F, E, off) in enumerate(rows):
-            src[r_i, :E] = src_of[ji][off:off + E]
+        combo_rows = []
+        u_of: Dict[tuple, int] = {}
+        for r_i, (ji, ci_, F, E, off, m_sc, qm) in enumerate(rows):
+            j = jobs[ji]
+            uci = (j.n_ri_syms, j.n_ack_syms, j.n_cqi_syms)
+            if any(uci):
+                combo = ("uci", K, F, E, j.rv, off, m_sc, qm) + uci
+                base_arr[r_i] = base_of[ji]
+            else:
+                combo = ("lin", K, F, E, j.rv)
+                base_arr[r_i] = base_of[ji] + off
+            u = u_of.get(combo)
+            if u is None:
+                u = u_of[combo] = len(combo_rows)
+                combo_rows.append(combo)
+            u_idx[r_i] = u
             F_arr[r_i] = F
-            pos[r_i, :E] = turbo_mod.derm_positions(K, F, E, jobs[ji].rv)
-        fn = _derm_turbo_ul_fn(K, e_max, n_b, n_iter)
+        tab = _ul_inv_tab_device(tuple(combo_rows))
+        fn = _derm_turbo_ul_fn(K, int(tab.shape[2]), int(tab.shape[0]),
+                               n_b, n_iter)
         with prof.span("pu_turbo_call"):
-            fused = fn(flat, jnp.asarray(src), jnp.asarray(pos),
-                       jnp.asarray(F_arr))
+            fused = fn(flat, jnp.asarray(base_arr), jnp.asarray(u_idx),
+                       tab, jnp.asarray(F_arr))
         if Wk < w_max:
             fused = jnp.pad(fused, ((0, 0), (0, w_max - Wk)))
         fused_parts.append(fused[:len(rows)])

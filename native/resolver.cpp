@@ -238,7 +238,10 @@ constexpr int kFmt1C = 4;
 
 int inspect(ResolveCtx& c, int ncce, int l, int depth, bool discovery,
             const int32_t* parent) {
-  if (ncce >= c.nof_cce) return 0;
+  // span check (not just start): with the unified cfi-dynamic search the
+  // location list is the cfi=3 superset, so the location must fit entirely
+  // inside this subframe's control region
+  if (ncce + (1 << l) > c.nof_cce) return 0;
   Loc* loc = c.loc_of(l, ncce);
   if (!loc || loc->occupied || loc->checked || !loc->sufficient_power) return 0;
   int li = loc->index;
