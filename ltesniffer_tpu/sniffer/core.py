@@ -319,6 +319,48 @@ class LTESnifferCore:
         fe = ctx["fe"]
         B = ctx["B"]
         sf_idx = ctx["sf_idx"]
+        run, st = self._searcher()
+        # the per-subframe CFI rides as DATA (device-resident, straight
+        # from the PCFICH stage): the search dispatch chains device-to-
+        # device with NO host readback in this phase — the scalar D2H
+        # lands in _phase3 together with the candidate matrix
+        cfi_dev = fe["cfi"] - 1
+        CH = self.SEARCH_CHUNK
+        chunks = []   # (cand_fused device array, rows-to-skip-at-head)
+        with prof.span("p2_search"):
+            if B <= CH:
+                out_c = run(fe["grids"], fe["h"], fe["noise_var"],
+                            fe["snr_db"], jnp.asarray(sf_idx), cfi_dev)
+                self._async_d2h(out_c["cand_fused"])
+                chunks.append((out_c["cand_fused"], 0))
+            else:
+                a = 0
+                while a < B:
+                    skip = 0
+                    if a + CH > B:
+                        # overlap the tail chunk backward: static slice
+                        # shapes keep one compiled program; the host drops
+                        # the re-decoded head rows
+                        skip = CH - (B - a)
+                        a = B - CH
+                    out_c = run(fe["grids"][a:a + CH], fe["h"][a:a + CH],
+                                fe["noise_var"][a:a + CH],
+                                fe["snr_db"][a:a + CH],
+                                jnp.asarray(sf_idx[a:a + CH]),
+                                cfi_dev[a:a + CH])
+                    self._async_d2h(out_c["cand_fused"])
+                    chunks.append((out_c["cand_fused"], skip))
+                    a += CH
+        ctx["outs"] = {"_st": st, "_chunks": chunks}
+        ctx["stage"] = 2
+
+    def _read_scalars(self, ctx: dict):
+        """Host-side consumption of the fused frontend scalars (CFI / SNR /
+        CFO / RSRP): CFO feedback EMA, sync-loss detection, MIB-based SFN
+        acquisition.  Runs in _phase3 — the search no longer waits on it."""
+        fe = ctx["fe"]
+        B = ctx["B"]
+        sf_idx = ctx["sf_idx"]
         with prof.span("p2_scalars"):
             scal = np.asarray(fe["scalars"])
         cfi = scal[:, 0].astype(np.int32)
@@ -363,37 +405,6 @@ class LTESnifferCore:
                                     - (ctx["fbase"] + i) // 10) % 1024
                         self._mib_synced = True
                         break
-        run, st = self._searcher()
-        cfi_idx = np.clip(cfi, 1, 3).astype(np.int32) - 1
-        CH = self.SEARCH_CHUNK
-        chunks = []   # (cand_fused device array, rows-to-skip-at-head)
-        with prof.span("p2_search"):
-            if B <= CH:
-                out_c = run(fe["grids"], fe["h"], fe["noise_var"],
-                            fe["snr_db"], jnp.asarray(sf_idx),
-                            jnp.asarray(cfi_idx))
-                self._async_d2h(out_c["cand_fused"])
-                chunks.append((out_c["cand_fused"], 0))
-            else:
-                a = 0
-                while a < B:
-                    skip = 0
-                    if a + CH > B:
-                        # overlap the tail chunk backward: static slice
-                        # shapes keep one compiled program; the host drops
-                        # the re-decoded head rows
-                        skip = CH - (B - a)
-                        a = B - CH
-                    out_c = run(fe["grids"][a:a + CH], fe["h"][a:a + CH],
-                                fe["noise_var"][a:a + CH],
-                                fe["snr_db"][a:a + CH],
-                                jnp.asarray(sf_idx[a:a + CH]),
-                                jnp.asarray(cfi_idx[a:a + CH]))
-                    self._async_d2h(out_c["cand_fused"])
-                    chunks.append((out_c["cand_fused"], skip))
-                    a += CH
-        ctx["outs"] = {"_st": st, "_chunks": chunks}
-        ctx["stage"] = 2
 
     @staticmethod
     def _async_d2h(dev):
@@ -409,6 +420,7 @@ class LTESnifferCore:
         outs = ctx["outs"]
         B = ctx["B"]
         sf_idx = ctx["sf_idx"]
+        self._read_scalars(ctx)
         out = outs
         st = out["_st"]
         with prof.span("p3_meta"):

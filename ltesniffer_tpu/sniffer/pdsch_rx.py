@@ -264,16 +264,46 @@ class GrantJob:
     tag: object = None          # caller cookie (e.g. the AcceptedDci)
 
 
+_RE_TAB_CACHE: Dict[tuple, object] = {}
+
+
+def _re_tab_device(cell: CellConfig, n_pad: int, combos: tuple):
+    """Device-resident unique grant-RE index tables for one eq/demap group.
+
+    combos: tuple of (sf_idx, cfi, prb_mask bytes, slot1 bytes|None).
+    Returns (U_pad, n_pad) int32 (tail positions clamp to the last RE).  A
+    loaded cell re-issues the same allocations every frame, so this kills
+    the former per-dispatch (G, n_pad) index-matrix H2D (~tens of MB per
+    batch through the tunnel)."""
+    key = (cell, n_pad, combos)
+    tab = _RE_TAB_CACHE.get(key)
+    if tab is None:
+        U_pad = _pow2(len(combos), 1)
+        arr = np.zeros((U_pad, n_pad), np.int32)
+        for u, (sf_idx, cfi, mb, s1b) in enumerate(combos):
+            mask = np.frombuffer(mb, dtype=bool)
+            s1 = None if s1b is None else np.frombuffer(s1b, dtype=bool)
+            re_idx = pdsch_mod.grant_re_indices(cell, sf_idx, cfi, mask, s1)
+            arr[u, :len(re_idx)] = re_idx
+            arr[u, len(re_idx):] = re_idx[-1]
+        if len(_RE_TAB_CACHE) > 512:
+            _RE_TAB_CACHE.clear()
+        tab = jnp.asarray(arr)
+        _RE_TAB_CACHE[key] = tab
+    return tab
+
+
 @functools.lru_cache(maxsize=64)
 def _eq_demap_batch_fn(cell: CellConfig, qm: int, n_re_pad: int,
-                       use_sfbc: bool):
+                       use_sfbc: bool, n_u: int = 0):
     """Jitted: many grants' REs -> descrambled LLRs in one call.
 
-    (grids (B,RX,L,2), h (B,RX,P,L,2), noise (B,), bidx (G,), re_idx (G,n),
-     c_init (G,)) -> llr (G, n*qm)
+    (grids (B,RX,L,2), h (B,RX,P,L,2), noise (B,), bidx (G,), u_idx (G,),
+     re_tab (n_u, n), c_init (G,), pa (G,)) -> llr (G, n*qm)
     """
     @jax.jit
-    def run(gflat, hflat, noise_var, bidx, re_idx, c_init, pa):
+    def run(gflat, hflat, noise_var, bidx, u_idx, re_tab, c_init, pa):
+        re_idx = re_tab[u_idx]                           # (G, n)
         # advanced-index gather: result (G, n, RX, 2) -> move RX forward
         y = gflat[bidx[:, None], :, re_idx, :]           # (G, n, RX, 2)
         y = jnp.moveaxis(y, 1, 2)                        # (G, RX, n, 2)
@@ -446,25 +476,35 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
         G = len(jis)
         # pad the grant count to a power of two: bounds the number of
         # compiled (G, n_pad, qm) shape variants under varying cell load
-        G_pad = _pow2(G, 4)
+        G_pad = _pow2(G, 64)
         bidx = np.zeros(G_pad, np.int32)
         bidx[:G] = [jobs[ji].b for ji in jis]
-        idx = np.zeros((G_pad, n_pad), np.int32)
+        u_idx = np.zeros(G_pad, np.int32)
         cinit = np.zeros(G_pad, np.uint32)
         pa = np.ones(G_pad, np.float32)
+        combo_rows: list = []
+        u_of: Dict[tuple, int] = {}
         for row, ji in enumerate(jis):
-            re_idx = meta[ji]
-            idx[row, :len(re_idx)] = re_idx
-            idx[row, len(re_idx):] = re_idx[-1]
             j = jobs[ji]
+            combo = (j.sf_idx, j.cfi, j.prb_mask.tobytes(),
+                     None if j.prb_mask_slot1 is None
+                     else j.prb_mask_slot1.tobytes())
+            u = u_of.get(combo)
+            if u is None:
+                u = u_of[combo] = len(combo_rows)
+                combo_rows.append(combo)
+            u_idx[row] = u
             cinit[row] = pdsch_mod.scrambling_cinit(j.rnti, 0, j.sf_idx,
                                                     cell.n_id_cell)
             pa[row] = j.pa
             base_of[ji] = base_acc + row * (n_pad * qm)
-        fn = _eq_demap_batch_fn(cell, qm, n_pad, cell.nof_ports >= 2)
+        re_tab = _re_tab_device(cell, n_pad, tuple(combo_rows))
+        fn = _eq_demap_batch_fn(cell, qm, n_pad, cell.nof_ports >= 2,
+                                int(re_tab.shape[0]))
         with prof.span("pd_eqdemap_call"):
             out = fn(gflat, hflat, noise_var, jnp.asarray(bidx),
-                     jnp.asarray(idx), jnp.asarray(cinit), jnp.asarray(pa))
+                     jnp.asarray(u_idx), re_tab, jnp.asarray(cinit),
+                     jnp.asarray(pa))
         flat_parts.append(out.reshape(-1))
         base_acc += G_pad * n_pad * qm
     n_re_of = {ji: len(meta[ji]) for ji in range(len(jobs))
@@ -529,14 +569,14 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
                 rounds.append([])
             rounds[o].append(r)
         def _usable_prior(r):
-            # Combine only actual retransmissions (round 0) or in-batch
-            # chain continuations (round > 0, any kind: the earlier
-            # occurrence already stored this TX's buffer), and only when
-            # the stored buffer's K matches — a TBS change invalidates the
-            # stored soft bits (reference stored-TBS rule, `HARQ.cc:71-130`).
-            if r[6] is None or r[6] not in soft_buffers:
-                return False
-            if not r[7] and occ_round.get(id(r), 0) == 0:
+            # Combine ONLY actual retransmissions (HARQ classify ran in
+            # time order on the host, so in-batch chains carry is_retx
+            # per occurrence) and only when the stored buffer's K matches —
+            # a TBS change invalidates the stored soft bits (reference
+            # stored-TBS rule, `HARQ.cc:71-130`).  A same-key NEW
+            # transmission in a later round must NOT inherit the earlier
+            # occurrence's LLRs; it overwrites the buffer instead.
+            if not r[7] or r[6] is None or r[6] not in soft_buffers:
                 return False
             return tuple(soft_buffers[r[6]].shape) == (3, K + 4)
 
@@ -552,7 +592,7 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
         for sub, has_prior in _subsets():
             if not sub:
                 continue
-            n_b = _pow2(len(sub), 4)
+            n_b = _pow2(len(sub), 64)
             _t2 = prof.time.perf_counter()
             combos = tuple(sorted({(K, r[2], r[3], r[5]) for r in sub}))
             u_of = {c: u for u, c in enumerate(combos)}
@@ -566,7 +606,7 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
                 F_arr[r_i] = F
                 u_idx[r_i] = u_of[(K, F, E, rv)]
                 if has_prior:
-                    priors.append(_buffer_value(soft_buffers[key_ci]))
+                    priors.append(soft_buffers[key_ci])
             prof.add("pd_pos_build", prof.time.perf_counter() - _t2)
             fn = _derm_turbo_fn(K, int(tab.shape[2]), int(tab.shape[0]),
                                 n_b, has_prior, n_iter)
@@ -574,7 +614,7 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
                 if has_prior:
                     while len(priors) < n_b:
                         priors.append(np.zeros((3, K + 4), np.float32))
-                    prior = jnp.stack(priors)
+                    prior = _gather_lazy_rows(priors)
                     fused, d = fn(flat, jnp.asarray(starts),
                                   jnp.asarray(u_idx), tab,
                                   jnp.asarray(F_arr), prior)
@@ -665,21 +705,31 @@ def _assemble_tb(pb: PendingPdschBatch, ji: int, bits_of, rem_of,
                        cb_ok, [], pb.n_re_of.get(ji, 0))
 
 
-def _gather_lazy_rows(refs: List[LazyRow]):
-    """Stack LazyRow references into one (n, ...) device array with one
-    `take` per distinct parent (not one slice op per row)."""
+def _gather_lazy_rows(refs: List):
+    """Stack LazyRow references (and plain host/device arrays) into one
+    (n, ...) device array with one `take` per distinct parent — not one
+    slice op per row (hundreds of tiny dispatches through the tunnel)."""
     by_parent: Dict[int, list] = {}
     parents: Dict[int, object] = {}
+    host_items: list = []     # (order index, np/jnp array)
     for i, r in enumerate(refs):
-        by_parent.setdefault(id(r.arr), []).append((i, r.i))
-        parents[id(r.arr)] = r.arr
+        if isinstance(r, LazyRow):
+            by_parent.setdefault(id(r.arr), []).append((i, r.i))
+            parents[id(r.arr)] = r.arr
+        else:
+            host_items.append((i, r))
     parts, order = [], []
     for pid, items in by_parent.items():
         rows = jnp.asarray(np.array([it[1] for it in items], np.int32))
         parts.append(jnp.take(parents[pid], rows, axis=0))
         order.extend(it[0] for it in items)
+    if host_items:
+        parts.append(jnp.stack([jnp.asarray(a) for _, a in host_items]))
+        order.extend(i for i, _ in host_items)
     stacked = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
     inv = np.argsort(np.array(order))
+    if np.array_equal(inv, np.arange(len(refs))):
+        return stacked
     return jnp.take(stacked, jnp.asarray(inv.astype(np.int32)), axis=0)
 
 
@@ -705,7 +755,7 @@ def escalate_failures(pb: PendingPdschBatch, esc_idx: List[int],
     rem_of: Dict[Tuple[int, int], int] = {}
     pend = []
     for K, rows in sorted(by_k.items()):
-        n_b = _pow2(len(rows), 4)
+        n_b = _pow2(len(rows), 64)
         d = _gather_lazy_rows([r[2] for r in rows])
         if n_b > d.shape[0]:
             d = jnp.pad(d, ((0, n_b - d.shape[0]), (0, 0), (0, 0)))

@@ -389,7 +389,7 @@ def dispatch_grants_ul_batch(ul_grids, cell: CellConfig,
     for (n_prb, qm), jis in sorted(groups.items()):
         m_sc = 12 * n_prb
         row_len = 12 * m_sc * qm
-        n_pad = _pow2(len(jis), 2)
+        n_pad = _pow2(len(jis), 8)
         bidx = np.zeros(n_pad, np.int32)
         k0 = np.zeros(n_pad, np.int32)
         cinit = np.zeros(n_pad, np.uint32)
@@ -452,7 +452,7 @@ def dispatch_grants_ul_batch(ul_grids, cell: CellConfig,
     w_max = max(((K + 31) // 32) for K in by_k) if by_k else 0
     for K, rows in sorted(by_k.items()):
         Wk = (K + 31) // 32
-        n_b = _pow2(len(rows), 2)
+        n_b = _pow2(len(rows), 32)
         base_arr = np.zeros(n_b, np.int32)
         u_idx = np.zeros(n_b, np.int32)
         F_arr = np.zeros(n_b, np.int32)

@@ -80,11 +80,23 @@ for row, j in enumerate(jobs):
                                             cell.n_id_cell)
 gflat = fe["grids"].reshape(B, 1, -1, 2)
 hflat = fe["h"].reshape(B, 1, 2, -1, 2)
-eqfn = pdsch_rx._eq_demap_batch_fn(cell, QM, n_pad, True)
-bidx_d, idx_d = jnp.asarray(bidx), jnp.asarray(idx)
+combos = []
+u_idx = np.zeros(G_pad, np.int32)
+u_of = {}
+for row, j in enumerate(jobs):
+    combo = (j.sf_idx, j.cfi, j.prb_mask.tobytes(), None)
+    u = u_of.get(combo)
+    if u is None:
+        u = u_of[combo] = len(combos)
+        combos.append(combo)
+    u_idx[row] = u
+re_tab = pdsch_rx._re_tab_device(cell, n_pad, tuple(combos))
+eqfn = pdsch_rx._eq_demap_batch_fn(cell, QM, n_pad, True,
+                                   int(re_tab.shape[0]))
+bidx_d, u_d = jnp.asarray(bidx), jnp.asarray(u_idx)
 cin_d, pa_d = jnp.asarray(cinit), jnp.asarray(pa)
 out = timeit("eq/demap batch", lambda: eqfn(
-    gflat, hflat, fe["noise_var"], bidx_d, idx_d, cin_d, pa_d))
+    gflat, hflat, fe["noise_var"], bidx_d, u_d, re_tab, cin_d, pa_d))
 print(f"  [G_pad={G_pad} n_pad={n_pad} n_re={n_re}]")
 
 # --- derm+turbo+crc+pack ---------------------------------------------------
@@ -92,14 +104,16 @@ flat = out.reshape(-1)
 seg = turbo_host.segment_sizes(TBS)
 K = seg.K[0]
 E = pdsch_mod.cb_rate_match_sizes(n_re * QM, seg.C, QM)[0]
-e_max = pdsch_rx._pow2(E, 256)
 n_b = G_pad
 starts = (np.arange(n_b) % G) * (n_pad * QM)
 F_arr = np.full(n_b, seg.F, np.int32)
-pos = np.full((n_b, e_max), -1, np.int32)
-pos[:, :E] = turbo_host.derm_positions(K, seg.F, E, 0)
-fn = pdsch_rx._derm_turbo_fn(K, e_max, n_b, False, 8)
-st_d, pos_d, f_d = jnp.asarray(starts.astype(np.int32)), jnp.asarray(pos), jnp.asarray(F_arr)
-timeit(f"derm+turbo+crc K={K} it=8", lambda: fn(flat, st_d, pos_d, f_d))
-fn3 = pdsch_rx._derm_turbo_fn(K, e_max, n_b, False, 3)
-timeit(f"derm+turbo+crc K={K} it=3", lambda: fn3(flat, st_d, pos_d, f_d))
+dcombos = ((K, seg.F, E, 0),)
+tab = pdsch_rx._inv_tab_device(dcombos)
+du = jnp.asarray(np.zeros(n_b, np.int32))
+fn = pdsch_rx._derm_turbo_fn(K, int(tab.shape[2]), int(tab.shape[0]),
+                             n_b, False, 8)
+st_d, f_d = jnp.asarray(starts.astype(np.int32)), jnp.asarray(F_arr)
+timeit(f"derm+turbo+crc K={K} it=8", lambda: fn(flat, st_d, du, tab, f_d))
+fn3 = pdsch_rx._derm_turbo_fn(K, int(tab.shape[2]), int(tab.shape[0]),
+                              n_b, False, 3)
+timeit(f"derm+turbo+crc K={K} it=3", lambda: fn3(flat, st_d, du, tab, f_d))

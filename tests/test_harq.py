@@ -128,9 +128,12 @@ def test_in_batch_harq_chain_combines():
         out = run(jnp.asarray(np.stack([iq0, iq1]).astype(np.complex64)),
                   jnp.asarray(np.asarray([6, 6], np.int32)))
         bufs = trackers.SoftBufferPool()
+        # the second occurrence carries is_retx (as the core's sequential
+        # HARQ classify would set it): only genuine retransmissions chain —
+        # a same-key NEW transmission overwrites the buffer instead
         jobs = [pdsch_rx.GrantJob(b=b, sf_idx=6, cfi=CFI, rnti=0x7777,
                                   prb_mask=prb_mask, qm=4, tbs=tbs, rv=rv,
-                                  harq_key=key)
+                                  harq_key=key, is_retx=(b == 1))
                 for b, rv in ((0, 0), (1, 2))]
         res = pdsch_rx.decode_grants_batch(
             out["grids"], out["h"], out["noise_var"], CELL, jobs,
