@@ -29,6 +29,8 @@ N_SF = int(os.environ.get("BENCH_SF", "512"))
 N_RNTI = int(os.environ.get("BENCH_RNTI", "50"))
 GRANTS = int(os.environ.get("BENCH_GRANTS", "12"))
 BATCH = int(os.environ.get("BENCH_BATCH", "256"))
+UL_SF = int(os.environ.get("BENCH_UL_SF", "256"))
+UL_GRANTS = int(os.environ.get("BENCH_UL_GRANTS", "8"))
 
 
 def build_stream(cell):
@@ -67,6 +69,46 @@ def run_e2e(cell, stream):
     dt = time.perf_counter() - t0
     s = c.summary()
     return dt, s
+
+
+def run_ul_e2e(cell):
+    """UL-mode dual-carrier rate: DCI0 issue -> t+4 PUSCH decode of every
+    grant (8 grants/sf), the reference's `-u` mode
+    (`UL_Sniffer_PUSCH.cc:389-583`)."""
+    import numpy as np
+    from ltesniffer_tpu.phy import tables
+    from ltesniffer_tpu.sniffer import core
+    from ltesniffer_tpu.testing import scenario
+
+    rng = np.random.default_rng(11)
+    sb = scenario.DualScenarioBuilder(cell, cfi=2, seed=11)
+    qm, itbs = tables.ul_mcs_to_qm_itbs(6)
+    tbs = tables.tbs_lookup(itbs, 8)
+    placed = 0
+    for j in range(UL_SF):
+        txs = [scenario.UlTx(rnti=0x400 + ((j * UL_GRANTS + g) % 40),
+                             tb_bits=rng.integers(0, 2, tbs).astype(np.uint8),
+                             mcs=6, prb_start=g * 8, n_prb=8)
+               for g in range(UL_GRANTS)]
+        placed += sb.add_subframe(j % 10, txs, strict=False)
+    dl_stream, ul_stream = sb.streams()
+
+    def one_pass():
+        cfg = core.SnifferConfig(cell=cell, batch_size=min(BATCH, 128))
+        c = core.LTESnifferCoreUL(cfg)
+        t0 = time.perf_counter()
+        c.run_dual_samples(dl_stream, ul_stream)
+        dt = time.perf_counter() - t0
+        ok = sum(1 for r in c.ul_results if r.crc_ok)
+        return dt, ok
+
+    one_pass()                       # compile/warm
+    best_rate, ok = 0.0, 0
+    for _ in range(2):
+        dt, ok = one_pass()
+        best_rate = max(best_rate, UL_SF / dt)
+    assert ok >= 0.8 * placed, (ok, placed)
+    return best_rate, ok, placed
 
 
 def run_pdcch_only(cell):
@@ -124,6 +166,11 @@ def main():
     assert s2["pdsch_ok"] >= 0.8 * placed, (s2, placed)
 
     pdcch_rate = run_pdcch_only(cell)
+    ul_rate, ul_ok, ul_placed = (0.0, 0, 0)
+    if UL_SF > 0:
+        ul_rate, ul_ok, ul_placed = run_ul_e2e(cell)
+        print(f"[bench] ul mode: {ul_rate:.1f} sf/s, "
+              f"{ul_ok}/{ul_placed} PUSCH ok", file=sys.stderr)
 
     print(json.dumps({
         "metric": "e2e_loaded_cell_subframes_per_second",
@@ -135,6 +182,8 @@ def main():
             "pdcch_blind_decode_subframes_per_second": round(pdcch_rate, 1),
             "pdsch_ok": s2["pdsch_ok"],
             "dcis": s2["dcis"],
+            "ul_e2e_subframes_per_second": round(ul_rate, 1),
+            "ul_pusch_ok": ul_ok,
         },
     }))
 

@@ -319,6 +319,17 @@ class LTESnifferCore:
         fe = ctx["fe"]
         B = ctx["B"]
         sf_idx = ctx["sf_idx"]
+        # un-synced SFN: dispatch a MIB decode for this batch's subframe-0
+        # candidates NOW (async, overlapping the search chain); the bits
+        # are resolved in _read_scalars once the SNR gate is known
+        if not self._mib_synced:
+            pend = []
+            for i in range(B):
+                if sf_idx[i] == 0 and len(pend) < 4:
+                    pend.append((i, pbch_rx.dispatch_mib_at(
+                        fe["grids"], fe["h"], fe["noise_var"], i,
+                        self.cell)))
+            ctx["mib_pend"] = pend
         run, st = self._searcher()
         # the per-subframe CFI rides as DATA (device-resident, straight
         # from the PCFICH stage): the search dispatch chains device-to-
@@ -387,8 +398,11 @@ class LTESnifferCore:
         # SFN acquisition from the first decodable MIB (subframe 0).
         # Attempt every frame for the first 8 frames, then back off to
         # every 8th frame -- but never give up (the reference retries until
-        # MIB decodes, `LTESniffer_Core.cc:382-418`).
+        # MIB decodes, `LTESniffer_Core.cc:382-418`).  The device decodes
+        # were dispatched asynchronously back in _phase2; here only the
+        # SNR gate + CRC-hypothesis resolution run.
         if not self._mib_synced:
+            pend = {i: dev for i, dev in ctx.get("mib_pend", ())}
             for i in range(B):
                 if sf_idx[i] == 0 and snrs[i] > 0.0:
                     self._mib_sf0_seen += 1
@@ -396,10 +410,14 @@ class LTESnifferCore:
                             and self._mib_sf0_seen % 8 != 0):
                         continue
                     with prof.span("p2_mib"):
-                        # device-array slices in, (8, 40) bits out: one D2H
-                        mib = pbch_rx.decode_mib(
-                            fe["grids"][i], fe["h"][i],
-                            fe["noise_var"][i], self.cell)
+                        if i in pend:
+                            mib = pbch_rx.resolve_mib_bits(
+                                np.asarray(pend[i]))
+                        else:
+                            # beyond the dispatched candidates: sync call
+                            mib = pbch_rx.decode_mib_at(
+                                fe["grids"], fe["h"], fe["noise_var"], i,
+                                self.cell)
                     if mib.ok:
                         self.sfn = (mib.sfn
                                     - (ctx["fbase"] + i) // 10) % 1024
@@ -469,6 +487,7 @@ class LTESnifferCore:
         # ---- pass B: handlers in time order + batched PDSCH jobs
         pending = []
         fe = ctx["fe"]
+        _tb = prof.time.perf_counter()
         for (i, c, gi, sf, sfn_i, accepted) in resolved:
             self._count_rb_collisions(accepted)
             if self.dci_trace is not None and accepted:
@@ -504,6 +523,7 @@ class LTESnifferCore:
             if self.on_subframe:
                 self.on_subframe(dict(out=out, gi=gi, cfi=c, sf=sf,
                                       sfn=sfn_i, accepted=accepted))
+        prof.add("p3_handlers", prof.time.perf_counter() - _tb)
         # dispatch the grouped PDSCH decode on device (ONE call across all
         # cfi groups: jobs carry their own cfi); the fused-result D2H
         # overlaps the next batch's compute, finished in _phase4
@@ -736,8 +756,9 @@ class LTESnifferCore:
                     if r2.crc_ok:
                         res[idx] = r2
                         jobs[idx].tag["table"] = trackers.McsTable.QAM256
-            for job, r in zip(jobs, res):
-                self._finish_dl(job, r, job.tag)
+            with prof.span("p4_finish_dl"):
+                for job, r in zip(jobs, res):
+                    self._finish_dl(job, r, job.tag)
 
     def _finish_dl(self, job, res, t):
         a = t["a"]

@@ -101,6 +101,13 @@ def _make_decoder(cell: CellConfig):
     W[np.arange(E_TOTAL), maps["e_to_d"]] = 1.0
 
     @jax.jit
+    def run_batch(grids_B, h_B, noise_var_B, i):
+        """Subframe ``i`` of a batch (i is DATA: one compiled program
+        serves every batch position — avoids a fresh tiny slice program
+        per distinct host index on the remote-compile backend)."""
+        return run(grids_B[i], h_B[i], noise_var_B[i])
+
+    @jax.jit
     def run(grids, h, noise_var):
         """One subframe-0: returns decoded bits (8, 40) for hypotheses
         (port in {1,2} x frame_phase in {0..3})."""
@@ -122,6 +129,7 @@ def _make_decoder(cell: CellConfig):
         bits = viterbi.viterbi_decode_tb(d)
         return bits
 
+    run.batch = run_batch
     return run
 
 
@@ -135,6 +143,29 @@ def decode_mib(grids_b, h_b, noise_var_b, cell: CellConfig) -> MibResult:
     run = _make_decoder(cell)
     bits = np.asarray(run(grids_b, h_b, noise_var_b))
     return resolve_mib_bits(bits)
+
+
+def decode_mib_at(grids_B, h_B, noise_var_B, i: int,
+                  cell: CellConfig) -> MibResult:
+    """decode_mib on batch position ``i`` with the index passed as device
+    data — one compiled program regardless of i."""
+    run = _make_decoder(cell)
+    bits = np.asarray(run.batch(grids_B, h_B, noise_var_B, np.int32(i)))
+    return resolve_mib_bits(bits)
+
+
+def dispatch_mib_at(grids_B, h_B, noise_var_B, i: int, cell: CellConfig):
+    """Async half of `decode_mib_at`: dispatch the device decode and start
+    its (8, 40)-bit D2H, returning the in-flight device array.  Resolve
+    later with `resolve_mib_bits(np.asarray(dev))` — lets the MIB chain
+    overlap the batch's other device work instead of being a barrier."""
+    run = _make_decoder(cell)
+    dev = run.batch(grids_B, h_B, noise_var_B, np.int32(i))
+    try:
+        dev.copy_to_host_async()
+    except Exception:
+        pass
+    return dev
 
 
 def resolve_mib_bits(bits: np.ndarray) -> MibResult:

@@ -549,89 +549,90 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
     w_max = max(((K + 31) // 32) for K in by_k) if by_k else 0
     for K, rows in sorted(by_k.items()):
         Wk = (K + 31) // 32
-        # In-batch retransmission chains: the r-th occurrence of a HARQ key
-        # within one dispatch must combine with the (r-1)-th occurrence's
-        # output, not share its prior.  Rows are split into occurrence
-        # rounds; round r-1 stores its combined LLRs (device array) into
-        # `soft_buffers` before round r builds its priors, so chains
+        # In-batch retransmission chains: a retx whose previous same-key
+        # transmission sits in THIS batch must combine with that row's
+        # output.  Rows split into dependency-DEPTH rounds (depth advances
+        # only across actual retx links, not mere key repetition), and each
+        # chained row's prior is taken from its explicit predecessor row
+        # (d_of LazyRow) rather than a mid-dispatch buffer store — so a
+        # loaded cell re-issuing the same (rnti, pid) with fresh data every
+        # frame stays ONE fresh dispatch, while genuine chains still
         # combine sequentially with zero extra D2H (the old host path's
         # `buf += d` semantics, batched).
-        occ_of: Dict = {}
-        occ_round: Dict[int, int] = {}
+        occ_prev: Dict = {}            # key_ci -> (ji, ci) of last occurrence
+        depth_of: Dict[tuple, int] = {}
+        prior_src: Dict[int, tuple] = {}   # id(row) -> ("row",(ji,ci)) | ("buf",key)
         rounds: List[list] = []
         for r in rows:
-            o = 0
-            if r[6] is not None:
-                o = occ_of.get(r[6], 0)
-                occ_of[r[6]] = o + 1
-            occ_round[id(r)] = o
-            while len(rounds) <= o:
+            key = r[6]
+            d_ = 0
+            if r[7] and key is not None:
+                prev = occ_prev.get(key)
+                if prev is not None:
+                    d_ = depth_of[prev] + 1
+                    prior_src[id(r)] = ("row", prev)
+                elif (key in soft_buffers
+                        and tuple(soft_buffers[key].shape) == (3, K + 4)):
+                    # prior from an earlier batch; a K mismatch means the
+                    # TBS changed -> stored soft bits invalid (reference
+                    # stored-TBS rule, `HARQ.cc:71-130`)
+                    prior_src[id(r)] = ("buf", key)
+            if key is not None:
+                occ_prev[key] = (r[0], r[1])
+                depth_of[(r[0], r[1])] = d_
+            while len(rounds) <= d_:
                 rounds.append([])
-            rounds[o].append(r)
-        def _usable_prior(r):
-            # Combine ONLY actual retransmissions (HARQ classify ran in
-            # time order on the host, so in-batch chains carry is_retx
-            # per occurrence) and only when the stored buffer's K matches —
-            # a TBS change invalidates the stored soft bits (reference
-            # stored-TBS rule, `HARQ.cc:71-130`).  A same-key NEW
-            # transmission in a later round must NOT inherit the earlier
-            # occurrence's LLRs; it overwrites the buffer instead.
-            if not r[7] or r[6] is None or r[6] not in soft_buffers:
-                return False
-            return tuple(soft_buffers[r[6]].shape) == (3, K + 4)
+            rounds[d_].append(r)
 
-        def _subsets():
-            # lazy: the prior check for round r must run AFTER round r-1's
-            # dispatch stored its combined buffers into `soft_buffers`
-            for rnd in rounds:
-                fresh, withp = [], []
-                for r in rnd:
-                    (withp if _usable_prior(r) else fresh).append(r)
-                yield fresh, False
-                yield withp, True
-        for sub, has_prior in _subsets():
-            if not sub:
-                continue
-            n_b = _pow2(len(sub), 64)
-            _t2 = prof.time.perf_counter()
-            combos = tuple(sorted({(K, r[2], r[3], r[5]) for r in sub}))
-            u_of = {c: u for u, c in enumerate(combos)}
-            tab = _inv_tab_device(combos)
-            starts = np.zeros(n_b, np.int32)
-            F_arr = np.zeros(n_b, np.int32)
-            u_idx = np.zeros(n_b, np.int32)
-            priors = []
-            for r_i, (ji, ci_, F, E, start, rv, key_ci, _rt) in enumerate(sub):
-                starts[r_i] = start
-                F_arr[r_i] = F
-                u_idx[r_i] = u_of[(K, F, E, rv)]
-                if has_prior:
-                    priors.append(soft_buffers[key_ci])
-            prof.add("pd_pos_build", prof.time.perf_counter() - _t2)
-            fn = _derm_turbo_fn(K, int(tab.shape[2]), int(tab.shape[0]),
-                                n_b, has_prior, n_iter)
-            with prof.span("pd_turbo_call"):
-                if has_prior:
-                    while len(priors) < n_b:
-                        priors.append(np.zeros((3, K + 4), np.float32))
-                    prior = _gather_lazy_rows(priors)
-                    fused, d = fn(flat, jnp.asarray(starts),
-                                  jnp.asarray(u_idx), tab,
-                                  jnp.asarray(F_arr), prior)
-                else:
-                    fused, d = fn(flat, jnp.asarray(starts),
-                                  jnp.asarray(u_idx), tab,
-                                  jnp.asarray(F_arr))
-            # store combined LLRs as the new HARQ soft buffers: lazy
-            # (parent array, row) refs — zero device ops here
-            for r_i, (ji, ci_, F, E, start, rv, key_ci, _rt) in enumerate(sub):
-                if key_ci is not None:
-                    soft_buffers[key_ci] = LazyRow(d, r_i)
-                d_of[(ji, ci_)] = LazyRow(d, r_i)
-            if Wk < w_max:
-                fused = jnp.pad(fused, ((0, 0), (0, w_max - Wk)))
-            fused_parts.append(fused[:len(sub)])
-            group_rows.append((K, Wk, [(r[0], r[1], r[2]) for r in sub]))
+        for rnd in rounds:
+            subs = ([r for r in rnd if id(r) not in prior_src], False), \
+                   ([r for r in rnd if id(r) in prior_src], True)
+            for sub, has_prior in subs:
+                if not sub:
+                    continue
+                n_b = _pow2(len(sub), 64)
+                _t2 = prof.time.perf_counter()
+                combos = tuple(sorted({(K, r[2], r[3], r[5]) for r in sub}))
+                u_of = {c: u for u, c in enumerate(combos)}
+                tab = _inv_tab_device(combos)
+                starts = np.zeros(n_b, np.int32)
+                F_arr = np.zeros(n_b, np.int32)
+                u_idx = np.zeros(n_b, np.int32)
+                priors = []
+                for r_i, (ji, ci_, F, E, start, rv, key_ci, _rt) in enumerate(sub):
+                    starts[r_i] = start
+                    F_arr[r_i] = F
+                    u_idx[r_i] = u_of[(K, F, E, rv)]
+                    if has_prior:
+                        kind, ref = prior_src[id(sub[r_i])]
+                        priors.append(d_of[ref] if kind == "row"
+                                      else soft_buffers[ref])
+                prof.add("pd_pos_build", prof.time.perf_counter() - _t2)
+                fn = _derm_turbo_fn(K, int(tab.shape[2]), int(tab.shape[0]),
+                                    n_b, has_prior, n_iter)
+                with prof.span("pd_turbo_call"):
+                    if has_prior:
+                        while len(priors) < n_b:
+                            priors.append(np.zeros((3, K + 4), np.float32))
+                        prior = _gather_lazy_rows(priors)
+                        fused, d = fn(flat, jnp.asarray(starts),
+                                      jnp.asarray(u_idx), tab,
+                                      jnp.asarray(F_arr), prior)
+                    else:
+                        fused, d = fn(flat, jnp.asarray(starts),
+                                      jnp.asarray(u_idx), tab,
+                                      jnp.asarray(F_arr))
+                for r_i, (ji, ci_, F, E, start, rv, key_ci, _rt) in enumerate(sub):
+                    d_of[(ji, ci_)] = LazyRow(d, r_i)
+                if Wk < w_max:
+                    fused = jnp.pad(fused, ((0, 0), (0, w_max - Wk)))
+                fused_parts.append(fused[:len(sub)])
+                group_rows.append((K, Wk, [(r[0], r[1], r[2]) for r in sub]))
+        # the surviving HARQ soft buffer for each key is its LAST (time-
+        # ordered) occurrence's combined LLRs — lazy (parent, row) refs,
+        # zero device ops here
+        for key, jici in occ_prev.items():
+            soft_buffers[key] = d_of[jici]
     fused_dev = (jnp.concatenate(fused_parts) if len(fused_parts) > 1
                  else fused_parts[0]) if fused_parts else None
     if fused_dev is not None:
