@@ -263,99 +263,6 @@ def _eq_batch_ul_fn(cell: CellConfig, n_prb: int, qm: int, n_rows: int):
     return run
 
 
-@functools.lru_cache(maxsize=4096)
-def _ul_rel_inv(combo: tuple) -> np.ndarray:
-    """Relative source-index inverse map for one UL code block.
-
-    combo is ("lin", K, F, E, rv) for plain data, or
-    ("uci", K, F, E, rv, off, m_sc, qm, n_ri, n_ack, n_cqi) when UCI
-    multiplexing reshuffles the data cells.  Returns (3*(K+4), R) int32:
-    stream position p accumulates flat[base + rel[p, r]] (-1 = skip; ACK
-    punctures and pad slots contribute zero).  Composing the UCI cell map
-    with the de-rate-match inverse keeps the whole per-dispatch H2D down
-    to three small per-row vectors."""
-    from ltesniffer_tpu.phy import uci as uci_mod
-    kind = combo[0]
-    if kind == "lin":
-        _, K, F, E, rv = combo
-        return turbo_mod.derm_inverse(K, F, E, rv)
-    _, K, F, E, rv, off, m_sc, qm, n_ri, n_ack, n_cqi = combo
-    _, ack_cells = uci_mod.uci_positions(m_sc, qm, n_ri, n_ack)
-    data_cells = uci_mod.data_group_map(m_sc, n_ri)
-    cell_src = (data_cells[:, None] * qm
-                + np.arange(qm)).astype(np.int64)
-    ack = np.zeros(12 * m_sc, bool)
-    ack[ack_cells] = True
-    cell_src[ack[data_cells]] = -1           # ACK punctures read zero
-    # aperiodic CQI rides the head of the multiplexed stream
-    # (36.212 5.2.2.8: g = [CQI, data] before interleaving)
-    cell_src = cell_src[n_cqi:]
-    rel = cell_src.reshape(-1)
-    inv = turbo_mod.derm_inverse(K, F, E, rv)
-    out = np.where(inv >= 0, rel[np.clip(off + inv, 0, len(rel) - 1)], -1)
-    return out.astype(np.int32)
-
-
-_UL_INV_CACHE: Dict[tuple, object] = {}
-
-
-def _ul_inv_tab_device(combos: tuple):
-    """Stack + device-put the unique rel-inverse tables of one dispatch
-    group (cached; see `pdsch_rx._inv_tab_device`)."""
-    tab = _UL_INV_CACHE.get(combos)
-    if tab is None:
-        invs = [_ul_rel_inv(c) for c in combos]
-        R = max(i.shape[1] for i in invs)
-        U_pad = _pow2(len(invs), 1)
-        arr = np.full((U_pad, invs[0].shape[0], R), -1, np.int32)
-        for u, i in enumerate(invs):
-            arr[u, :, :i.shape[1]] = i
-        if len(_UL_INV_CACHE) > 256:
-            _UL_INV_CACHE.clear()
-        tab = jnp.asarray(arr)
-        _UL_INV_CACHE[combos] = tab
-    return tab
-
-
-@functools.lru_cache(maxsize=256)
-def _derm_turbo_ul_fn(K: int, R: int, n_u: int, n_rows: int, n_iter: int):
-    """UL finisher for one code-block-size group: gather-formulated
-    de-rate-match from the flat LLR pool (per-row base + cached inverse
-    table folding the UCI data-cell selection and ACK punctures) + turbo +
-    CB CRC24B + bit packing.
-
-    (flat (N,), base (n,), u_idx (n,), inv_tab (n_u, 3Kp, R), F (n,))
-    -> fused (n, 1+W) u32.
-    """
-    from ltesniffer_tpu.phy import crc as crc_mod
-    from ltesniffer_tpu.kernels import turbo as kturbo
-    Kp = K + 4
-    Wk = (K + 31) // 32
-    dec = kturbo.make_decoder(K, n_iter)
-    w32 = (1 << np.arange(32, dtype=np.int64)).astype(np.uint32)
-
-    @jax.jit
-    def run(flat, base, u_idx, inv_tab, F):  # noqa: ANN001
-        n = n_rows
-        inv = inv_tab[u_idx]                                  # (n, 3Kp, R)
-        valid = inv >= 0
-        gidx = base[:, None, None] + jnp.where(valid, inv, 0)
-        vals = jnp.where(valid, flat[gidx], 0.0)
-        d = jnp.sum(vals, axis=-1).reshape(n, 3, Kp)
-        fm = jnp.arange(Kp)[None, :] < F[:, None]
-        d = d.at[:, 0, :].set(jnp.where(fm, 1e4, d[:, 0, :]))
-        d = d.at[:, 1, :].set(jnp.where(fm, 1e4, d[:, 1, :]))
-        bits, _ = dec(d)
-        rem = crc_mod.batched_crc(bits, crc_mod.CRC24B).astype(jnp.int32)
-        remsum = jnp.sum(rem, axis=-1).astype(jnp.uint32)
-        pad = jnp.pad(bits, ((0, 0), (0, Wk * 32 - K)))
-        packed = jnp.sum(pad.reshape(n, Wk, 32).astype(jnp.uint32)
-                         * w32, axis=-1, dtype=jnp.uint32)
-        return jnp.concatenate([remsum[:, None], packed], axis=1)
-
-    return run
-
-
 @dataclasses.dataclass
 class PendingUlBatch:
     jobs: list
@@ -372,6 +279,7 @@ def dispatch_grants_ul_batch(ul_grids, cell: CellConfig,
     """Launch the grouped device decode of many UL grants; one async D2H."""
     from ltesniffer_tpu.phy import crc as _  # noqa: F401 (kept warm)
     from ltesniffer_tpu.phy import uci as uci_mod
+    from .pdsch_rx import _derm_laps, _derm_turbo_static_fn, _stack_rows
     results = [None] * len(jobs)
     groups: Dict[Tuple[int, int], list] = {}
     for ji, j in enumerate(jobs):
@@ -380,15 +288,14 @@ def dispatch_grants_ul_batch(ul_grids, cell: CellConfig,
                                       0.0, j.n_prb)
             continue
         groups.setdefault((j.n_prb, j.qm), []).append(ji)
-    flat_parts = []
+    eq_outs = []
     scalar_parts = []
     scalar_row: Dict[int, int] = {}
-    base_of: Dict[int, int] = {}
-    base_acc = 0
+    row_of: Dict[int, int] = {}
+    row_acc = 0
     n_scal = 0
     for (n_prb, qm), jis in sorted(groups.items()):
         m_sc = 12 * n_prb
-        row_len = 12 * m_sc * qm
         n_pad = _pow2(len(jis), 8)
         bidx = np.zeros(n_pad, np.int32)
         k0 = np.zeros(n_pad, np.int32)
@@ -404,7 +311,7 @@ def dispatch_grants_ul_batch(ul_grids, cell: CellConfig,
                 ul_dmrs.pusch_dmrs(n_prb, 2 * j.sf_idx + s, cell.n_id_cell,
                                    j.cyclic_shift_cfg, j.dmrs_field)
                 for s in range(2)])
-            base_of[ji] = base_acc + row * row_len
+            row_of[ji] = row_acc + row
             scalar_row[ji] = n_scal + row
         fn = _eq_batch_ul_fn(cell, n_prb, qm, n_pad)
         with prof.span("pu_eqdemap_call"):
@@ -412,19 +319,16 @@ def dispatch_grants_ul_batch(ul_grids, cell: CellConfig,
                                     jnp.asarray(k0),
                                     jnp.asarray(cplx.to_ri(dmrs)),
                                     jnp.asarray(cinit))
-        flat_parts.append(llr.reshape(-1))
+        eq_outs.append(llr.reshape(n_pad, 12 * m_sc * qm))
         scalar_parts.append(jnp.stack([snr_db, ta_us], axis=-1))
-        base_acc += n_pad * row_len
+        row_acc += n_pad
         n_scal += n_pad
-    if not flat_parts:
+    if not eq_outs:
         return PendingUlBatch(jobs, results, {}, [], None, None, scalar_row)
-    flat = (jnp.concatenate(flat_parts) if len(flat_parts) > 1
-            else flat_parts[0])
     scalars = (jnp.concatenate(scalar_parts) if len(scalar_parts) > 1
                else scalar_parts[0])
-    # pad to a power of two (bounds compile variants) + guaranteed-zero tail
-    flat_pad = _pow2(int(flat.shape[0]) + 1, 1 << 12)
-    flat = jnp.pad(flat, (0, flat_pad - int(flat.shape[0])))
+    Wm = _pow2(max(int(o.shape[1]) for o in eq_outs), 1 << 12)
+    rows_mat = _stack_rows(eq_outs, Wm)
 
     # --- collect code blocks grouped by K -------------------------------
     seg_of: Dict[int, object] = {}
@@ -443,8 +347,13 @@ def dispatch_grants_ul_batch(ul_grids, cell: CellConfig,
             off = 0
             for ci_, (K, E) in enumerate(zip(seg.K, es)):
                 F = seg.F if ci_ == 0 else 0
+                if any(uci):
+                    src_key = ("uci", m_sc, qm, j.n_ri_syms, j.n_ack_syms,
+                               j.n_cqi_syms, off)
+                else:
+                    src_key = ("lin", off)
                 by_k.setdefault(K, []).append(
-                    (ji, ci_, F, E, off, m_sc, qm))
+                    (ji, ci_, F, E, j.rv, src_key))
                 off += E
 
     group_rows = []
@@ -452,37 +361,27 @@ def dispatch_grants_ul_batch(ul_grids, cell: CellConfig,
     w_max = max(((K + 31) // 32) for K in by_k) if by_k else 0
     for K, rows in sorted(by_k.items()):
         Wk = (K + 31) // 32
-        n_b = _pow2(len(rows), 32)
-        base_arr = np.zeros(n_b, np.int32)
-        u_idx = np.zeros(n_b, np.int32)
-        F_arr = np.zeros(n_b, np.int32)
-        combo_rows = []
-        u_of: Dict[tuple, int] = {}
-        for r_i, (ji, ci_, F, E, off, m_sc, qm) in enumerate(rows):
-            j = jobs[ji]
-            uci = (j.n_ri_syms, j.n_ack_syms, j.n_cqi_syms)
-            if any(uci):
-                combo = ("uci", K, F, E, j.rv, off, m_sc, qm) + uci
-                base_arr[r_i] = base_of[ji]
-            else:
-                combo = ("lin", K, F, E, j.rv)
-                base_arr[r_i] = base_of[ji] + off
-            u = u_of.get(combo)
-            if u is None:
-                u = u_of[combo] = len(combo_rows)
-                combo_rows.append(combo)
-            u_idx[r_i] = u
-            F_arr[r_i] = F
-        tab = _ul_inv_tab_device(tuple(combo_rows))
-        fn = _derm_turbo_ul_fn(K, int(tab.shape[2]), int(tab.shape[0]),
-                               n_b, n_iter)
-        with prof.span("pu_turbo_call"):
-            fused = fn(flat, jnp.asarray(base_arr), jnp.asarray(u_idx),
-                       tab, jnp.asarray(F_arr))
-        if Wk < w_max:
-            fused = jnp.pad(fused, ((0, 0), (0, w_max - Wk)))
-        fused_parts.append(fused[:len(rows)])
-        group_rows.append((K, Wk, [(r[0], r[1]) for r in rows]))
+        # sub-group by the finisher's static shape key (F, laps, rv, src)
+        subs: Dict[tuple, list] = {}
+        for r in rows:
+            subs.setdefault((r[2], _derm_laps(K, r[2], r[3]), r[4], r[5]),
+                            []).append(r)
+        for (F, laps, rv, src_key), sub in sorted(subs.items()):
+            n_b = _pow2(len(sub), 32)
+            rows_idx = np.zeros(n_b, np.int32)
+            e_true = np.zeros(n_b, np.int32)
+            for r_i, (ji, ci_, _F, E, _rv, _sk) in enumerate(sub):
+                rows_idx[r_i] = row_of[ji]
+                e_true[r_i] = E
+            fn = _derm_turbo_static_fn(Wm, K, F, laps, rv, n_b, False,
+                                       n_iter, src_key)
+            with prof.span("pu_turbo_call"):
+                fused, _d = fn(rows_mat, jnp.asarray(rows_idx),
+                               jnp.asarray(e_true))
+            if Wk < w_max:
+                fused = jnp.pad(fused, ((0, 0), (0, w_max - Wk)))
+            fused_parts.append(fused[:len(sub)])
+            group_rows.append((K, Wk, [(r[0], r[1]) for r in sub]))
     fused_dev = (jnp.concatenate(fused_parts) if len(fused_parts) > 1
                  else fused_parts[0]) if fused_parts else None
     for dev in (fused_dev, scalars):

@@ -100,20 +100,17 @@ out = timeit("eq/demap batch", lambda: eqfn(
 print(f"  [G_pad={G_pad} n_pad={n_pad} n_re={n_re}]")
 
 # --- derm+turbo+crc+pack ---------------------------------------------------
-flat = out.reshape(-1)
 seg = turbo_host.segment_sizes(TBS)
 K = seg.K[0]
 E = pdsch_mod.cb_rate_match_sizes(n_re * QM, seg.C, QM)[0]
 n_b = G_pad
-starts = (np.arange(n_b) % G) * (n_pad * QM)
-F_arr = np.full(n_b, seg.F, np.int32)
-dcombos = ((K, seg.F, E, 0),)
-tab = pdsch_rx._inv_tab_device(dcombos)
-du = jnp.asarray(np.zeros(n_b, np.int32))
-fn = pdsch_rx._derm_turbo_fn(K, int(tab.shape[2]), int(tab.shape[0]),
-                             n_b, False, 8)
-st_d, f_d = jnp.asarray(starts.astype(np.int32)), jnp.asarray(F_arr)
-timeit(f"derm+turbo+crc K={K} it=8", lambda: fn(flat, st_d, du, tab, f_d))
-fn3 = pdsch_rx._derm_turbo_fn(K, int(tab.shape[2]), int(tab.shape[0]),
-                              n_b, False, 3)
-timeit(f"derm+turbo+crc K={K} it=3", lambda: fn3(flat, st_d, du, tab, f_d))
+Wm = pdsch_rx._pow2(n_pad * QM, 1 << 12)
+rows_mat = pdsch_rx._stack_rows([out], Wm)
+rows_idx = jnp.asarray((np.arange(n_b) % G).astype(np.int32))
+e_d = jnp.asarray(np.full(n_b, E, np.int32))
+laps = pdsch_rx._derm_laps(K, seg.F, E)
+for it in (8, 3):
+    fn = pdsch_rx._derm_turbo_static_fn(Wm, K, seg.F, laps, 0, n_b, False,
+                                        it, ("lin", 0))
+    timeit(f"derm+turbo+crc K={K} it={it}",
+           lambda fn=fn: fn(rows_mat, rows_idx, e_d))
