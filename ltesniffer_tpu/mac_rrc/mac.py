@@ -188,3 +188,60 @@ def rar_grant_fields(grant: int) -> dict:
         "ul_delay": (grant >> 1) & 1,
         "cqi_request": grant & 1,
     }
+
+
+# ---------------------------------------------------------------------------
+# RLC AM / PDCP SRB framing (36.322 6.2.1.4, 36.323 6.2.2)
+# ---------------------------------------------------------------------------
+def parse_rlc_am_data(pdu: bytes):
+    """RLC AM data PDU -> payload after the header (None for control PDUs
+    or re-segmented PDUs).  Handles the E=1 length-indicator extension.
+    The reference parses these via srsRAN rlc_am
+    (`UL_Sniffer_PUSCH.cc:311-374`)."""
+    if len(pdu) < 2:
+        return None
+    b0 = pdu[0]
+    if not (b0 & 0x80):         # D/C=0: control PDU (status)
+        return None
+    if b0 & 0x40:               # RF=1: AMD PDU segment — not reassembled
+        return None
+    e = (b0 >> 2) & 1
+    p = 2
+    if e:
+        # length indicators: 12-bit LI + E bit each, padded to octets
+        more = True
+        nbits = 0
+        while more and (p + (nbits + 13) // 8) <= len(pdu):
+            li_bits = []
+            for k in range(13):
+                byte = pdu[2 + (nbits + k) // 8]
+                li_bits.append((byte >> (7 - ((nbits + k) % 8))) & 1)
+            more = li_bits[0] == 1
+            nbits += 13
+        p = 2 + (nbits + 7) // 8
+    if p >= len(pdu):
+        return None
+    return pdu[p:]
+
+
+def strip_pdcp_srb(sdu: bytes):
+    """PDCP SRB data PDU -> RRC SDU: 1-byte header (5-bit SN) off the
+    front, 4-byte MAC-I off the tail (36.323 6.2.2/6.3.4)."""
+    if len(sdu) < 6:
+        return None
+    return sdu[1:-4]
+
+
+def rlc_pdcp_rrc_sdu(mac_sdu: bytes):
+    """DCCH MAC SDU -> RRC SDU candidates, best-guess first: full RLC AM +
+    PDCP parse, then the MAC-I-less variant (truncated captures), then the
+    raw SDU (transparent test paths)."""
+    out = []
+    am = parse_rlc_am_data(mac_sdu)
+    if am is not None:
+        if len(am) >= 6:
+            out.append(am[1:-4])
+        if len(am) >= 2:
+            out.append(am[1:])
+    out.append(mac_sdu)
+    return out

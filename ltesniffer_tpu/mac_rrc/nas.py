@@ -11,6 +11,7 @@ from typing import Optional
 
 PD_EMM = 0x07
 MSG_ATTACH_REQUEST = 0x41
+MSG_ATTACH_ACCEPT = 0x42
 MSG_IDENTITY_REQUEST = 0x55
 MSG_IDENTITY_RESPONSE = 0x56
 MSG_ATTACH_COMPLETE = 0x43
@@ -105,6 +106,17 @@ def encode_identity_response(identity: MobileIdentity) -> bytes:
     return bytes([PD_EMM, MSG_IDENTITY_RESPONSE, len(mi)]) + mi
 
 
+def encode_attach_accept(guti: dict) -> bytes:
+    """Minimal plain Attach Accept with a GUTI TLV (IEI 0x50)."""
+    mi = encode_mobile_identity(ID_TYPE_GUTI, guti=guti)
+    esm = b"\x02\x00"                   # stub ESM container
+    out = bytearray([PD_EMM, MSG_ATTACH_ACCEPT, 0x01, 0x21])
+    out.append(0x00)                    # empty TAI list (LV len 0)
+    out += len(esm).to_bytes(2, "big") + esm
+    out += bytes([0x50, len(mi)]) + mi
+    return bytes(out)
+
+
 @dataclasses.dataclass
 class NasInfo:
     msg_type: int
@@ -138,4 +150,22 @@ def parse_nas(pdu: bytes) -> Optional[NasInfo]:
         return NasInfo(mt, "identity_response", mi)
     if mt == MSG_IDENTITY_REQUEST:
         return NasInfo(mt, "identity_request")
+    if mt == MSG_ATTACH_ACCEPT:
+        # 24.301 8.2.1: [result/spare][T3412][TAI list LV][ESM LV-E] then
+        # optional TLVs; GUTI is IEI 0x50 (the reference's Reconfig TMSI
+        # source, `DL_Sniffer_PDSCH.cc:804-879`)
+        try:
+            p = 4                       # skip result + T3412
+            p += 1 + body[p]            # TAI list (LV)
+            p += 2 + int.from_bytes(body[p:p + 2], "big")   # ESM (LV-E)
+            mi = None
+            while p + 2 <= len(body):
+                iei, ln = body[p], body[p + 1]
+                if iei == 0x50:
+                    mi = decode_mobile_identity(body[p + 2:p + 2 + ln])
+                    break
+                p += 2 + ln
+            return NasInfo(mt, "attach_accept", mi)
+        except (IndexError, ValueError):
+            return NasInfo(mt, "attach_accept")
     return NasInfo(mt, f"emm_0x{mt:02x}")

@@ -92,12 +92,47 @@ class SecurityApi:
 
     def on_ul_dcch(self, rnti: int, sdu: bytes, sfn: int, sf: int):
         out = rrc_mod.decode_ul_dcch(sdu)
-        if not out or out[1] is None:
+        if not out:
             return
         kind, nas_pdu = out
+        if kind == "ue_capability_information":
+            # `UL_Sniffer_PUSCH.cc:96-247` records UECapability sightings
+            rec = self._rec(rnti)
+            rec.has_ue_capability = True
+            rec.events.append("ue_capability_information")
+            self._mirror(sdu, rnti, sfn, sf, pcap_mod.DIRECTION_UPLINK)
+            return
+        if nas_pdu is None:
+            return
+        if self._absorb_nas(rnti, nas_pdu):
+            self._mirror(sdu, rnti, sfn, sf, pcap_mod.DIRECTION_UPLINK)
+
+    def on_dl_dcch(self, rnti: int, sdu: bytes, sfn: int, sf: int):
+        """DL DCCH SDU: DLInformationTransfer NAS, Reconfiguration-carried
+        NAS (TMSI via Attach Accept GUTI — `DL_Sniffer_PDSCH.cc:804-879`),
+        SecurityModeCommand / UECapabilityEnquiry sightings."""
+        out = rrc_mod.decode_dl_dcch(sdu)
+        if not out:
+            return
+        kind, val = out
+        got = False
+        if kind == "dl_info_transfer" and isinstance(val, bytes):
+            got = self._absorb_nas(rnti, val)
+        elif kind == "reconfiguration" and val is not None:
+            rec = self._rec(rnti)
+            rec.events.append("rrc_reconfiguration")
+            for pdu in val.nas_pdus:
+                got = self._absorb_nas(rnti, pdu) or got
+        elif kind in ("security_mode_command", "ue_capability_enquiry"):
+            self._rec(rnti).events.append(kind)
+        if got:
+            self._mirror(sdu, rnti, sfn, sf, pcap_mod.DIRECTION_DOWNLINK)
+
+    def _absorb_nas(self, rnti: int, nas_pdu: bytes) -> bool:
+        """Record any identity carried by a NAS PDU; True if one was."""
         info = nas_mod.parse_nas(nas_pdu)
         if info is None or info.identity is None:
-            return
+            return False
         rec = self._rec(rnti)
         mi = info.identity
         if mi.kind == nas_mod.ID_TYPE_IMSI:
@@ -108,7 +143,7 @@ class SecurityApi:
             rec.guti = mi.guti
             rec.tmsi = mi.guti["m_tmsi"]
         rec.events.append(f"{info.msg_name}:{mi.kind_name}")
-        self._mirror(sdu, rnti, sfn, sf, pcap_mod.DIRECTION_UPLINK)
+        return True
 
     # ------------------------------------------------------------------
     def _mirror(self, payload: bytes, rnti: int, sfn: int, sf: int,
