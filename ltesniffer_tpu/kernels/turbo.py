@@ -204,6 +204,54 @@ def make_decoder(K: int, n_iter: int = 8, windowed: bool | None = None):
 
 
 @functools.lru_cache(maxsize=64)
+def _lane_consts(K: int, B: int):
+    """Constant index maps for the window-major lane layout (shared by the
+    Pallas and XLA lane decoders): 8 RSC states on sublanes, (code block x
+    window) columns on lanes; QPP permutes and window-boundary shifts are
+    single constant-index gathers."""
+    pi = tables.qpp_interleave_indices(K).astype(np.int32)
+    de = np.zeros(K, dtype=np.int32)
+    de[pi] = np.arange(K, dtype=np.int32)
+    W = _window_len(K)
+    NW = K // W
+    L0 = B * NW
+    L = -(-L0 // 128) * 128
+    lane_b = np.arange(L) // NW          # code block of each lane
+    lane_w = np.arange(L) % NW           # window of each lane
+    lane_b[L0:] = 0
+    lane_w[L0:] = 0
+
+    def perm_w(p):
+        # window-layout flat gather index for apr_dst[k] = ext_src[p[k]]
+        idx = np.arange(W * L, dtype=np.int32).reshape(W, L)
+        for lane in range(L0):
+            b, w = lane // NW, lane % NW
+            k = w * W + np.arange(W)                  # dst positions
+            src = p[k]
+            idx[:, lane] = (src % W) * L + b * NW + src // W
+        return idx.reshape(-1)
+
+    # alpha shift: window w inherits a_end of window w-1 (same block)
+    sia = np.where(lane_w > 0, np.arange(L) - 1, np.arange(L))
+    mask_a = (lane_w > 0).astype(np.float32)[None, :]
+    const_a = np.where(mask_a > 0, 0.0, NEG) * np.ones((8, 1), np.float32)
+    const_a[0] = 0.0                                   # known state 0
+    const_a[:, L0:] = 0.0
+    mask_a[:, L0:] = 0.0
+    # beta shift: window w inherits b_start of window w+1; last window
+    # gets the tail-terminated beta_K (data-dependent, masked in)
+    sib = np.where(lane_w < NW - 1, np.arange(L) + 1, np.arange(L))
+    is_last = (lane_w == NW - 1)
+    is_last[L0:] = False
+    mask_b = (~is_last).astype(np.float32)[None, :]
+    return dict(L0=L0, L=L, W=W, NW=NW, pi=pi, de=de,
+                pi_w=perm_w(pi), de_w=perm_w(de),
+                sia=sia.astype(np.int32), mask_a=mask_a, const_a=const_a,
+                sib=sib.astype(np.int32), mask_b=mask_b,
+                is_last=is_last, lane_b=lane_b.astype(np.int32))
+
+
+@functools.lru_cache(maxsize=64)
 def _make_decoder_pallas(K: int, n_iter: int, interpret: bool | None = None):
     """Parallel-window decoder driving the Pallas BCJR kernel.
 
@@ -219,45 +267,8 @@ def _make_decoder_pallas(K: int, n_iter: int, interpret: bool | None = None):
     W = _window_len(K)
     NW = K // W
 
-    @functools.lru_cache(maxsize=8)
     def _consts(B: int):
-        """Per-batch-size constant index maps (everything stays in the
-        (W, L) window-major lane layout across iterations; the permutes and
-        window-boundary shifts are single constant-index gathers)."""
-        L0 = B * NW
-        L = -(-L0 // 128) * 128
-        lane_b = np.arange(L) // NW          # code block of each lane
-        lane_w = np.arange(L) % NW           # window of each lane
-        lane_b[L0:] = 0
-        lane_w[L0:] = 0
-
-        def perm_w(p):
-            # window-layout flat gather index for apr_dst[k] = ext_src[p[k]]
-            idx = np.arange(W * L, dtype=np.int32).reshape(W, L)
-            for lane in range(L0):
-                b, w = lane // NW, lane % NW
-                k = w * W + np.arange(W)                  # dst positions
-                src = p[k]
-                idx[:, lane] = (src % W) * L + b * NW + src // W
-            return idx.reshape(-1)
-
-        # alpha shift: window w inherits a_end of window w-1 (same block)
-        sia = np.where(lane_w > 0, np.arange(L) - 1, np.arange(L))
-        mask_a = (lane_w > 0).astype(np.float32)[None, :]
-        const_a = np.where(mask_a > 0, 0.0, NEG) * np.ones((8, 1), np.float32)
-        const_a[0] = 0.0                                   # known state 0
-        const_a[:, L0:] = 0.0
-        mask_a[:, L0:] = 0.0
-        # beta shift: window w inherits b_start of window w+1; last window
-        # gets the tail-terminated beta_K (data-dependent, masked in)
-        sib = np.where(lane_w < NW - 1, np.arange(L) + 1, np.arange(L))
-        is_last = (lane_w == NW - 1)
-        is_last[L0:] = False
-        mask_b = (~is_last).astype(np.float32)[None, :]
-        return dict(L0=L0, L=L, pi_w=perm_w(pi), de_w=perm_w(de),
-                    sia=sia.astype(np.int32), mask_a=mask_a, const_a=const_a,
-                    sib=sib.astype(np.int32), mask_b=mask_b,
-                    is_last=is_last, lane_b=lane_b.astype(np.int32))
+        return _lane_consts(K, B)
 
     @jax.jit
     def decode(d_llrs):
@@ -310,6 +321,134 @@ def _make_decoder_pallas(K: int, n_iter: int, interpret: bool | None = None):
             ext1, a1e, b1s = bcjr(apr1, l_sys_w, lp1w, a1, b1)
             apr2 = ext1.reshape(-1)[c["pi_w"]].reshape(W, L)
             ext2, a2e, b2s = bcjr(apr2, l_sys_iw, lp2w, a2, b2)
+            apr1n = ext2.reshape(-1)[c["de_w"]].reshape(W, L)
+            return (apr1n, shift_a(a1e), shift_b(b1s, betaK1_full),
+                    shift_a(a2e), shift_b(b2s, betaK2_full), ext2, apr2), None
+
+        (_, _, _, _, _, ext2, apr2), _ = jax.lax.scan(
+            body, init, None, length=n_iter)
+        llr2w = ext2 + apr2 + l_sys_iw                     # full LLR, dec-2
+        llr2 = jnp.transpose(
+            llr2w[:, :L0].reshape(W, B, NW), (1, 2, 0)).reshape(B, K)
+        llr_final = llr2[:, de]
+        bits = (llr_final < 0).astype(jnp.uint8)
+        return bits, llr_final
+
+    return decode
+
+
+def _bcjr_lanes(apr, l_sys_w, lp_w, a_init, b_init, W: int, L: int):
+    """One constituent max-log BCJR in lane-major layout.
+
+    apr / l_sys_w / lp_w: (W, L) window-major LLRs; a_init / b_init: (8, L)
+    boundary metrics.  The 8-state axis rides on sublanes so every ACS op
+    vectorizes across the full 128-lane width (the (B, NW, 8) layout leaves
+    the minor dim at 8/128 lane occupancy).  Forward and backward fused in
+    one W-step scan.  Returns (full_llr (W, L), a_end (8, L), b_start (8, L)).
+    """
+    c = _butterfly_consts()
+    SXF = jnp.asarray(c["SXF"])[..., None]      # (2, 4, 2, 1)
+    SZF = jnp.asarray(c["SZF"])[..., None]
+    SXB = jnp.asarray(c["SXB"])[..., None]      # (8, 2, 1)
+    SZB = jnp.asarray(c["SZB"])[..., None]
+    li = 0.5 * (l_sys_w + apr)
+    lp = 0.5 * lp_w
+    xs = (li, lp, jnp.flip(li, 0), jnp.flip(lp, 0))
+
+    def step(carry, inp):
+        alpha, beta = carry                      # (8, L)
+        af, bf, ab, bb = inp                     # (L,)
+        # forward butterfly: n = (a<<2)|m from predecessor pair (2m, 2m+1)
+        g = af[None, None, None, :] * SXF + bf[None, None, None, :] * SZF
+        cand = alpha.reshape(1, 4, 2, L) + g     # (2, 4, 2, L)
+        anew = jnp.max(cand, axis=2).reshape(8, L)
+        anew = anew - jnp.max(anew, axis=0, keepdims=True)
+        # backward butterfly: successors of s are (d<<2)|(s>>1)
+        bbt = jnp.swapaxes(beta.reshape(2, 4, L), 0, 1)   # (4, 2, L)
+        bbp = jnp.repeat(bbt, 2, axis=0)                  # (8, 2, L)
+        bcand = ab[None, None, :] * SXB + bb[None, None, :] * SZB + bbp
+        bnew = jnp.max(bcand, axis=1)                     # (8, L)
+        bnew = bnew - jnp.max(bnew, axis=0, keepdims=True)
+        return (anew, bnew), (alpha, beta)
+
+    (a_end, b_start), (alphas, betas_rev) = jax.lax.scan(
+        step, (a_init, b_init), xs)
+    betas_kp1 = jnp.flip(betas_rev, axis=0)               # (W, 8, L)
+    SZL0 = jnp.asarray(c["SZL0"])[None, :, None]
+    SZL1 = jnp.asarray(c["SZL1"])[None, :, None]
+    FB = jnp.asarray(c["FB"])[None, :, None]
+    bbt = jnp.swapaxes(betas_kp1.reshape(W, 2, 4, L), 1, 2)   # (W, 4, 2, L)
+    bbp = jnp.repeat(bbt, 2, axis=1)                          # (W, 8, 2, L)
+    bsel0 = jnp.where(FB, bbp[:, :, 1], bbp[:, :, 0])
+    bsel1 = jnp.where(FB, bbp[:, :, 0], bbp[:, :, 1])
+    m0 = jnp.max(alphas + li[:, None, :] + lp[:, None, :] * SZL0 + bsel0,
+                 axis=1)
+    m1 = jnp.max(alphas - li[:, None, :] + lp[:, None, :] * SZL1 + bsel1,
+                 axis=1)                                      # (W, L)
+    return m0 - m1, a_end, b_start
+
+
+@functools.lru_cache(maxsize=64)
+def _make_decoder_lanes(K: int, n_iter: int):
+    """Parallel-window decoder in the (8, states-on-sublanes) lane layout,
+    pure XLA.  Same algorithm and index maps as the Pallas driver; measures
+    ~2x faster than the (B, NW, 8) `_make_decoder_pw` at large batch on TPU
+    (full lane occupancy in every ACS / LLR op)."""
+    W = _window_len(K)
+    NW = K // W
+
+    @jax.jit
+    def decode(d_llrs):
+        d0 = d_llrs[:, 0, :]
+        d1 = d_llrs[:, 1, :]
+        d2 = d_llrs[:, 2, :]
+        l_sys = d0[:, :K]
+        t1_sys = jnp.stack([d0[:, K], d2[:, K], d1[:, K + 1]], axis=1)
+        t1_par = jnp.stack([d1[:, K], d0[:, K + 1], d2[:, K + 1]], axis=1)
+        t2_sys = jnp.stack([d0[:, K + 2], d2[:, K + 2], d1[:, K + 3]], axis=1)
+        t2_par = jnp.stack([d1[:, K + 2], d0[:, K + 3], d2[:, K + 3]], axis=1)
+        B = l_sys.shape[0]
+        c = _lane_consts(K, B)
+        L0, L = c["L0"], c["L"]
+        pad = L - L0
+        pi, de = c["pi"], c["de"]
+
+        def to_w(x):      # (B, K) -> (W, L) window-major lanes
+            xw = jnp.transpose(x.reshape(B, NW, W), (2, 0, 1)).reshape(W, L0)
+            return jnp.pad(xw, ((0, 0), (0, pad)))
+
+        l_sys_w = to_w(l_sys)
+        l_sys_iw = to_w(l_sys[:, pi])
+        lp1w = to_w(d1[:, :K])
+        lp2w = to_w(d2[:, :K])
+        bK1 = _beta_init_from_tail(t1_sys, t1_par).T          # (8, B)
+        bK2 = _beta_init_from_tail(t2_sys, t2_par).T
+        is_last = jnp.asarray(c["is_last"])[None, :]
+        betaK1_full = jnp.where(is_last, bK1[:, c["lane_b"]], 0.0)
+        betaK2_full = jnp.where(is_last, bK2[:, c["lane_b"]], 0.0)
+        mask_a = jnp.asarray(c["mask_a"])
+        const_a = jnp.asarray(c["const_a"])
+        mask_b = jnp.asarray(c["mask_b"])
+
+        def shift_a(a_end):
+            return a_end[:, c["sia"]] * mask_a + const_a
+
+        def shift_b(b_start, betaK_full):
+            return b_start[:, c["sib"]] * mask_b + betaK_full
+
+        zero_b = jnp.zeros((8, L), jnp.float32)
+        zero_w = jnp.zeros((W, L), jnp.float32)
+        init = (zero_w, shift_a(zero_b), shift_b(zero_b, betaK1_full),
+                shift_a(zero_b), shift_b(zero_b, betaK2_full), zero_w,
+                zero_w)
+
+        def body(carry, _):
+            apr1, a1, b1, a2, b2, _e, _a = carry
+            llr1, a1e, b1s = _bcjr_lanes(apr1, l_sys_w, lp1w, a1, b1, W, L)
+            ext1 = llr1 - l_sys_w - apr1
+            apr2 = ext1.reshape(-1)[c["pi_w"]].reshape(W, L)
+            llr2, a2e, b2s = _bcjr_lanes(apr2, l_sys_iw, lp2w, a2, b2, W, L)
+            ext2 = llr2 - l_sys_iw - apr2
             apr1n = ext2.reshape(-1)[c["de_w"]].reshape(W, L)
             return (apr1n, shift_a(a1e), shift_b(b1s, betaK1_full),
                     shift_a(a2e), shift_b(b2s, betaK2_full), ext2, apr2), None

@@ -88,10 +88,13 @@ def batched_crc(bits, poly_n, length: int | None = None):
     """
     poly, n = poly_n
     L = bits.shape[-1] if length is None else length
-    table = jnp.asarray(crc_remainder_table(poly_n, L), dtype=jnp.int32)  # (L, n)
-    rev = bits[..., ::-1].astype(jnp.int32)
+    # f32 operands put the parity matmul on the MXU (int32 einsum runs on
+    # the VPU ~10x slower); sums are <= L < 2^24 so f32 is exact
+    table = jnp.asarray(crc_remainder_table(poly_n, L),
+                        dtype=jnp.float32)                       # (L, n)
+    rev = bits[..., ::-1].astype(jnp.float32)
     acc = jnp.einsum("...l,ln->...n", rev, table)
-    return (acc % 2).astype(jnp.uint8)
+    return (acc % 2.0).astype(jnp.uint8)
 
 
 def bits_to_int(bits: np.ndarray) -> int:

@@ -56,6 +56,11 @@ class SnifferConfig:
     heartbeat: bool = False                # per-1000-subframe progress line
     table_every_s: float = 0.0             # >0: periodic DL/UL tables
     draw_maps: bool = False                # ASCII RB/power maps per subframe
+    # batches in flight in run_samples: 1 = fully synchronous, 2 = read
+    # batch k's results while batch k+1 computes (best on the axon tunnel,
+    # whose D2H reads drain behind ALL queued device work — deeper queues
+    # make every read wait longer), 3 = the legacy 4-phase deep pipeline
+    pipeline_depth: int = 2
 
 
 @dataclasses.dataclass
@@ -113,6 +118,7 @@ class LTESnifferCore:
         self.sync_losses = 0
         self.est_cfo = 0.0        # residual CFO (subcarriers), EMA-tracked
         self.tracker = None       # SubframeTracker when run_stream is used
+        self.sib1_info = None     # decoded SIB1 (PLMN, SI scheduling)
         self.stop_requested = False   # SIGINT gate (`SignalManager.h:41-56`)
         from . import observability as obs_mod
         self.heartbeat = obs_mod.Heartbeat() if cfg.heartbeat else None
@@ -223,8 +229,16 @@ class LTESnifferCore:
         # legacy alias: ingest_int16=False forces the unquantized path
         quant = self.cfg.ingest if self.cfg.ingest_int16 else "f32"
         from ltesniffer_tpu.kernels import cplx
+        dev_stream = dev_scale = None
         if quant == "i8":
             frames, scale = cplx.to_i8_packed(frames)
+            # ship the WHOLE stream to the device once (async put that
+            # overlaps the first batches' compute); steady-state batches
+            # slice it on device — per-batch H2D on the axon tunnel is
+            # 10-100x more expensive than one bulk transfer
+            import jax
+            dev_stream = jax.device_put(frames)
+            dev_scale = jax.device_put(scale)
         elif quant == "i16":
             frames, scale = cplx.to_i16(frames)
         else:
@@ -235,26 +249,48 @@ class LTESnifferCore:
             if self.stop_requested:
                 break
             b = min(a + self.cfg.batch_size, total)
-            blk = frames[a:b]
-            blk_scale = scale[a:b] if quant == "i8" else scale
-            if scale is None and abs(self.est_cfo) > 2e-3:
-                # worker-estimated CFO fed back into the stream, mirroring
-                # the reference's est_cfo channel (`SubframeWorker.cc:203`);
-                # pipelining adds ~2 batches of feedback latency (quantized
-                # ingest applies the same rotation on device instead)
-                rot = np.exp(-2j * np.pi * self.est_cfo
-                             * np.arange(n) / self.cell.n_fft)
-                blk = (blk * rot[None, None, :]).astype(np.complex64)
-            q.append(self._phase1(blk, sf_idx[a:b].astype(np.int32),
-                                  scale=blk_scale, quant=quant))
-            if len(q) >= 2:
-                self._phase2(q[-2])
-            # finish(k) must run before build(k+1): trackers (HARQ/MCS) that
-            # batch k's results update gate batch k+1's decode decisions
-            if len(q) >= 4:
-                self._phase4(q.popleft())
-            if len(q) >= 3:
-                self._phase3(q[-3])
+            if dev_stream is not None and b - a == self.cfg.batch_size:
+                q.append(self._phase1_dev(dev_stream, dev_scale, a,
+                                          sf_idx[a:b].astype(np.int32)))
+                blk = None
+            else:
+                blk = frames[a:b]
+                blk_scale = scale[a:b] if quant == "i8" else scale
+                if scale is None and abs(self.est_cfo) > 2e-3:
+                    # worker-estimated CFO fed back into the stream,
+                    # mirroring the reference's est_cfo channel
+                    # (`SubframeWorker.cc:203`); pipelining adds ~2 batches
+                    # of feedback latency (quantized ingest applies the
+                    # same rotation on device instead)
+                    rot = np.exp(-2j * np.pi * self.est_cfo
+                                 * np.arange(n) / self.cell.n_fft)
+                    blk = (blk * rot[None, None, :]).astype(np.complex64)
+                q.append(self._phase1(blk, sf_idx[a:b].astype(np.int32),
+                                      scale=blk_scale, quant=quant))
+            depth = max(1, self.cfg.pipeline_depth)
+            if depth >= 3:
+                # deep 4-phase pipeline (2 batches of device work queued)
+                if len(q) >= 2:
+                    self._phase2(q[-2])
+                # finish(k) must run before build(k+1): trackers (HARQ/MCS)
+                # that batch k's results update gate batch k+1's decisions
+                if len(q) >= 4:
+                    self._phase4(q.popleft())
+                if len(q) >= 3:
+                    self._phase3(q[-3])
+            elif depth == 2:
+                # dispatch this batch's full device chain, then read the
+                # PREVIOUS batch's results while this one computes
+                self._phase2(q[-1])
+                if len(q) >= 2:
+                    ctx = q.popleft()
+                    self._phase3(ctx)
+                    self._phase4(ctx)
+            else:
+                ctx = q.popleft()
+                self._phase2(ctx)
+                self._phase3(ctx)
+                self._phase4(ctx)
         while q:
             ctx = q.popleft()
             if ctx["stage"] < 2:
@@ -274,6 +310,25 @@ class LTESnifferCore:
         self._phase4(ctx)
 
     # ------------------------------------------------------------------
+    def _phase1_dev(self, dev_stream, dev_scale, a: int,
+                    sf_idx: np.ndarray) -> dict:
+        """Dispatch the frontend on a device-resident stream slice (no
+        per-batch H2D; start index and subframe phase ride as scalars)."""
+        B = self.cfg.batch_size
+        with prof.span("p1_frontend"):
+            fe = self.frontend.jitted_i8_at(
+                dev_stream, dev_scale, B, np.int32(a),
+                np.int32(int(sf_idx[0])), np.float32(self.est_cfo))
+            try:
+                fe["scalars"].copy_to_host_async()
+            except Exception:
+                pass
+        base = self._sf_dispatched
+        self._sf_dispatched += B
+        fbase = self._seg_sf0 + (base - self._seg_base)
+        return dict(fe=fe, sf_idx=np.asarray(sf_idx), B=B,
+                    base=base, fbase=fbase, stage=1)
+
     def _phase1(self, frames: np.ndarray, sf_idx: np.ndarray,
                 scale=None, quant: str = "i16") -> dict:
         """Dispatch frontend (OFDM+chest+PCFICH); start the scalar D2H."""
@@ -324,8 +379,15 @@ class LTESnifferCore:
         # are resolved in _read_scalars once the SNR gate is known
         if not self._mib_synced:
             pend = []
-            for i in range(B):
+            seen = self._mib_sf0_seen   # projected: resolve-side gate uses
+            for i in range(B):          # the SNR-qualified count
                 if sf_idx[i] == 0 and len(pend) < 4:
+                    seen += 1
+                    # apply the every-8th-frame backoff at DISPATCH time
+                    # too: past the first 8 frames, skipped candidates are
+                    # pure wasted device work + D2H on the slow tunnel
+                    if seen > 8 and seen % 8 != 0:
+                        continue
                     pend.append((i, pbch_rx.dispatch_mib_at(
                         fe["grids"], fe["h"], fe["noise_var"], i,
                         self.cell)))
@@ -969,13 +1031,19 @@ class LTESnifferCore:
                 else trackers.McsTable.QAM64))
 
     def _handle_sib(self, payload: bytes):
-        """SI-RNTI PDSCH -> SIB2 UL config (`decode_SIB` -> `set_SIB2`,
-        `SubframeWorker.cc:240-252`)."""
+        """SI-RNTI PDSCH -> SIB1 (PLMN/cell identity + SI scheduling) and
+        SIB2 UL config (`decode_SIB` -> `set_SIB2`,
+        `SubframeWorker.cc:240-252`, `DL_Sniffer_PDSCH.cc:459-570`)."""
         from ltesniffer_tpu.mac_rrc import rrc as rrc_mod
-        if self.ulsche.sib2 is not None:
+        if self.ulsche.sib2 is not None and getattr(self, "sib1_info",
+                                                    None) is not None:
             return
         out = rrc_mod.decode_bcch(payload)
-        if out and out[0] == "sib2":
+        if not out:
+            return
+        if out[0] == "sib1":
+            self.sib1_info = out[1]
+        elif out[0] == "sib2" and self.ulsche.sib2 is None:
             cfg = out[1]
             self.ulsche.set_sib2(dataclasses.asdict(cfg))
             if hasattr(self, "cyclic_shift_cfg"):
@@ -1022,6 +1090,16 @@ class LTESnifferCore:
                 self.api.on_con_res(rnti, s.payload[:6], sfn, sf)
             elif s.lcid == mac_mod.LCID_CCCH:
                 self.api.on_dl_ccch(rnti, s.payload, sfn, sf)
+            elif s.lcid in (1, 2):   # SRB1/SRB2 DL DCCH
+                before = self._api_events(rnti)
+                for cand in mac_mod.rlc_pdcp_rrc_sdu(s.payload):
+                    self.api.on_dl_dcch(rnti, cand, sfn, sf)
+                    if self._api_events(rnti) > before:
+                        break
+
+    def _api_events(self, rnti: int) -> int:
+        r = self.api.records.get(rnti)
+        return len(r.events) if r is not None else 0
 
     def _handle_rar(self, payload: bytes, sfn: int, sf: int):
         """RAR: activate T-CRNTIs (RM_ACT_RAR) + queue UL grants
@@ -1323,13 +1401,6 @@ class LTESnifferCoreUL(LTESnifferCore):
                 table=t["tenum"], from_rar=g.from_rar))
 
 
-def _strip_rlc(sdu: bytes):
-    """Candidate RLC-header strips for UL DCCH SDUs: AM (2 bytes), UM 5-bit
-    (1 byte), or transparent. The reference parses RLC AM explicitly
-    (`UL_Sniffer_PUSCH.cc:311-374` rlc_am usage)."""
-    return (sdu, sdu[1:], sdu[2:])
-
-
 def _coreul_api_ul(self, rnti: int, payload: bytes, sfn: int, sf: int):
     try:
         subs = mac_mod.parse_mac_pdu(payload, uplink=True)
@@ -1338,14 +1409,11 @@ def _coreul_api_ul(self, rnti: int, payload: bytes, sfn: int, sf: int):
     for s in subs:
         if s.lcid == mac_mod.LCID_CCCH:
             self.api.on_ul_ccch(rnti, s.payload, sfn, sf)
-        elif s.lcid in (1, 2):   # SRB1/SRB2 DCCH
-            for cand in _strip_rlc(s.payload):
-                before = len(self.api.records.get(rnti).events) \
-                    if rnti in self.api.records else 0
+        elif s.lcid in (1, 2):   # SRB1/SRB2 DCCH: RLC AM + PDCP framing
+            before = self._api_events(rnti)
+            for cand in mac_mod.rlc_pdcp_rrc_sdu(s.payload):
                 self.api.on_ul_dcch(rnti, cand, sfn, sf)
-                after = len(self.api.records.get(rnti).events) \
-                    if rnti in self.api.records else 0
-                if after > before:
+                if self._api_events(rnti) > before:
                     break
 
 

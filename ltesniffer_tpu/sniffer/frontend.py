@@ -94,6 +94,18 @@ def make_frontend(cell: CellConfig):
         x = jnp.stack([xr * c - xi * s, xr * s + xi * c], axis=-1)
         return run_ri(x, sf_idx)
 
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def run_i8_at(stream_p32, scales, B, start, sf0, cfo):
+        """Device-resident stream ingest: slice batch [start, start+B) out
+        of the packed-int8 stream ON DEVICE.  The whole stream is H2D-put
+        once per run (async, overlapping compute); per-batch host->device
+        argument transfers — which on the axon tunnel cost 10-100x a bulk
+        device_put — disappear from the steady-state loop."""
+        p = jax.lax.dynamic_slice_in_dim(stream_p32, start, B, axis=0)
+        sc = jax.lax.dynamic_slice_in_dim(scales, start, B, axis=0)
+        sf_idx = (sf0 + jnp.arange(B, dtype=jnp.int32)) % 10
+        return run_i8(p, sf_idx, sc, cfo)
+
     def run(samples, sf_idx):
         x = np.asarray(samples)
         if np.iscomplexobj(x):
@@ -103,4 +115,5 @@ def make_frontend(cell: CellConfig):
     run.jitted_ri = run_ri
     run.jitted_i16 = run_i16
     run.jitted_i8 = run_i8
+    run.jitted_i8_at = run_i8_at
     return run

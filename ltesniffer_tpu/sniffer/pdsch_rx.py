@@ -329,6 +329,91 @@ def _pow2(n: int, lo: int = 1) -> int:
     return v
 
 
+@functools.lru_cache(maxsize=16)
+def _center_prbs(cell: CellConfig) -> frozenset:
+    """PRBs overlapping the center 6 RBs (PBCH/PSS/SSS puncture zone)."""
+    lo = cell.n_sc // 2 - 36
+    hi = cell.n_sc // 2 + 36
+    return frozenset(p for p in range(cell.n_prb)
+                     if 12 * p < hi and 12 * p + 12 > lo)
+
+
+@functools.lru_cache(maxsize=16)
+def _reorg_fn(cell: CellConfig):
+    """Jitted once-per-batch grid reorg to PRB-major block layout:
+
+    grids (B, RX, 14, n_sc, 2), h (B, RX, P, 14, n_sc, 2) ->
+      Xg (B, n_prb, 14, 12, RX, 2), Xh (B, n_prb, 14, 12, RX, P, 2)
+
+    so a grant's REs become whole-PRB contiguous blocks — the fast path's
+    per-grant gather moves 300+-element slices instead of single REs."""
+    @jax.jit
+    def reorg(grids, h):
+        B = grids.shape[0]
+        g = grids.reshape(B, grids.shape[1], 14, cell.n_prb, 12, 2)
+        Xg = jnp.transpose(g, (0, 3, 2, 4, 1, 5))
+        hh = h.reshape(B, h.shape[1], h.shape[2], 14, cell.n_prb, 12, 2)
+        Xh = jnp.transpose(hh, (0, 4, 3, 5, 1, 2, 6))
+        return Xg, Xh
+
+    return reorg
+
+
+@functools.lru_cache(maxsize=256)
+def _eq_demap_prb_fn(cell: CellConfig, qm: int, n_prb: int, cfi: int,
+                     use_sfbc: bool):
+    """Jitted fast-path eq/demap for one (qm, n_prb, cfi) group: PRB-block
+    gather + STATIC data-RE compress + equalize + demap + descramble.
+
+    Applies to grants whose RE pattern is sf-independent (no PBCH/PSS/SSS
+    center-PRB puncture, single slot mask) — the common case on a loaded
+    cell.  The RE selection within the (14, n_prb, 12) PRB window is a
+    compile-time constant (CRS pattern has period 6, so it is uniform
+    across PRBs); only the PRB list rides as data, gathered in contiguous
+    ~336-element blocks (the per-RE dynamic gather this replaces measured
+    ~20x slower).
+
+    (Xg, Xh, noise_var (B,), bidx (G,), prbi (G, n_prb), c_init (G,),
+     pa (G,)) -> llr (G, n_pad*qm)
+    """
+    from ltesniffer_tpu.phy import pdsch as _pm
+    res = _pm.reserved_re_mask(cell, 1, cfi)      # sf 1: no center puncture
+    data_sc = [np.nonzero(~res[l, :12])[0] for l in range(14)]
+    n_re = sum(n_prb * len(data_sc[l]) for l in range(cfi, 14))
+    n_pad = _bucket(n_re)
+    SEL = np.zeros(n_pad, np.int32)
+    pos = 0
+    for l in range(cfi, 14):
+        for p in range(n_prb):
+            for k in data_sc[l]:
+                SEL[pos] = (l * n_prb + p) * 12 + k
+                pos += 1
+    SEL[pos:] = SEL[pos - 1]
+
+    @jax.jit
+    def run(Xg, Xh, noise_var, bidx, prbi, c_init, pa):
+        G = bidx.shape[0]
+        Y = Xg[bidx[:, None], prbi]              # (G, n_prb, 14, 12, RX, 2)
+        Y = jnp.transpose(Y, (0, 4, 2, 1, 3, 5))  # (G, RX, 14, n_prb, 12, 2)
+        y = jnp.take(Y.reshape(G, Y.shape[1], -1, 2), jnp.asarray(SEL),
+                     axis=2)                      # (G, RX, n_pad, 2)
+        H = Xh[bidx[:, None], prbi]           # (G, n_prb, 14, 12, RX, P, 2)
+        H = jnp.transpose(H, (0, 4, 5, 2, 1, 3, 6))
+        hh = jnp.take(H.reshape(G, H.shape[1], H.shape[2], -1, 2),
+                      jnp.asarray(SEL), axis=3)   # (G, RX, P, n_pad, 2)
+        hh = hh * pa[:, None, None, None, None]
+        nv = noise_var[bidx]
+        if use_sfbc:
+            x = chest.equalize_sfbc(y, hh, nv)
+        else:
+            x = chest.equalize_port0(y, hh[:, :, 0], nv)
+        llr = demapper.llr(x, qm)
+        scr = sequences.gold_sequence_jax(c_init, n_pad * qm)
+        return llr * (1.0 - 2.0 * scr.astype(jnp.float32))
+
+    return run, n_pad
+
+
 def _stack_rows(eq_outs: List, Wm: int):
     """Stack per-group eq/demap outputs into one (T, Wm) rows matrix
     (zero-padded columns; padded tails are masked out by e_true anyway)."""
@@ -505,6 +590,8 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
     results: List[Optional[PdschResult]] = [None] * len(jobs)
     meta = []
     groups: Dict[Tuple[int, int], List[int]] = {}
+    fast_groups: Dict[Tuple[int, int, int], List[int]] = {}
+    center = _center_prbs(cell)
     _t0 = prof.time.perf_counter()
     for ji, j in enumerate(jobs):
         re_idx = pdsch_mod.grant_re_indices(cell, j.sf_idx, j.cfi,
@@ -513,7 +600,15 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
         if j.tbs <= 0 or len(re_idx) == 0:
             results[ji] = PdschResult(j.rnti, j.tbs, False, None, [], [], 0)
             continue
-        groups.setdefault((j.qm, _bucket(len(re_idx))), []).append(ji)
+        n_prb = int(np.count_nonzero(j.prb_mask))
+        # fast path: sf-independent RE pattern (no center-PRB puncture,
+        # one slot mask) -> PRB-block gather with static RE compress
+        if (j.prb_mask_slot1 is None
+                and not (j.sf_idx in (0, 5)
+                         and any(j.prb_mask[p] for p in center))):
+            fast_groups.setdefault((j.qm, n_prb, j.cfi), []).append(ji)
+        else:
+            groups.setdefault((j.qm, _bucket(len(re_idx))), []).append(ji)
     prof.add("pd_re_idx", prof.time.perf_counter() - _t0)
     gflat = grids.reshape(grids.shape[0], grids.shape[1], -1, 2)
     hflat = h.reshape(h.shape[0], h.shape[1], h.shape[2], -1, 2)
@@ -521,6 +616,31 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
     eq_outs = []                       # (out (G_pad, n_pad*qm) device, ...)
     row_of: Dict[int, int] = {}        # ji -> row in the stacked rows matrix
     row_acc = 0
+    if fast_groups:
+        Xg, Xh = _reorg_fn(cell)(grids, h)
+    for (qm, n_prb, cfi), jis in fast_groups.items():
+        fn, n_pad = _eq_demap_prb_fn(cell, qm, n_prb, cfi,
+                                     cell.nof_ports >= 2)
+        G = len(jis)
+        G_pad = _pow2(G, 64)
+        bidx = np.zeros(G_pad, np.int32)
+        prbi = np.zeros((G_pad, n_prb), np.int32)
+        cinit = np.zeros(G_pad, np.uint32)
+        pa = np.ones(G_pad, np.float32)
+        for row, ji in enumerate(jis):
+            j = jobs[ji]
+            bidx[row] = j.b
+            prbi[row] = np.nonzero(j.prb_mask)[0]
+            cinit[row] = pdsch_mod.scrambling_cinit(j.rnti, 0, j.sf_idx,
+                                                    cell.n_id_cell)
+            pa[row] = j.pa
+            row_of[ji] = row_acc + row
+        with prof.span("pd_eqdemap_call"):
+            out = fn(Xg, Xh, noise_var, jnp.asarray(bidx),
+                     jnp.asarray(prbi), jnp.asarray(cinit),
+                     jnp.asarray(pa))
+        eq_outs.append(out.reshape(G_pad, n_pad * qm))
+        row_acc += G_pad
     for (qm, n_pad), jis in groups.items():
         G = len(jis)
         # pad the grant count to a power of two: bounds the number of
@@ -569,7 +689,9 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
     _t1 = prof.time.perf_counter()
     seg_of: Dict[int, object] = {}
     by_k: Dict[int, list] = {}     # K -> [(ji, ci, F, E, off, rv, key, rt)]
-    for (qm, n_pad), jis in groups.items():
+    all_job_groups = ([(k[0], jis) for k, jis in fast_groups.items()]
+                      + [(k[0], jis) for k, jis in groups.items()])
+    for qm, jis in all_job_groups:
         for ji in jis:
             j = jobs[ji]
             Gbits = len(meta[ji]) * qm
@@ -595,6 +717,9 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
     w_max = max(((K + 31) // 32) for K in by_k) if by_k else 0
     for K, rows in sorted(by_k.items()):
         Wk = (K + 31) // 32
+        # time order (ji ascending): the in-batch retx chaining below walks
+        # occurrences sequentially, and rows arrive grouped by eq-group
+        rows.sort(key=lambda r: (r[0], r[1]))
         # In-batch retransmission chains: a retx whose previous same-key
         # transmission sits in THIS batch must combine with that row's
         # output.  Rows split into dependency-DEPTH rounds (depth advances
