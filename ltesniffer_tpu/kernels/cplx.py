@@ -45,12 +45,29 @@ def to_i8_packed(x: np.ndarray):
     bytes.  Device-side unpack is 4 shift/mask ops (`frontend.run_i8`)."""
     ri = to_ri(x)                                  # (B, RX, n, 2) f32
     B = ri.shape[0]
-    peak = np.max(np.abs(ri.reshape(B, -1)), axis=1)
+    flat = ri.reshape(B, -1)
+    # per-subframe peak without an |.| temporary (one less full pass)
+    peak = np.maximum(flat.max(axis=1), -flat.min(axis=1))
     peak[peak == 0] = 1.0
     scales = (peak / 126.0).astype(np.float32)
-    q = np.round(ri / scales[:, None, None, None]).astype(np.int8)
-    packed = np.ascontiguousarray(q).reshape(B, ri.shape[1], -1).view(np.int32)
+    q = np.multiply(ri, (1.0 / scales)[:, None, None, None],
+                    dtype=np.float32)
+    np.rint(q, out=q)
+    q = q.astype(np.int8)
+    # explicit little-endian word view: the device-side unpack shifts
+    # assume byte k sits at bits 8k (true only for '<i4' words)
+    packed = (np.ascontiguousarray(q).reshape(B, ri.shape[1], -1)
+              .view(np.dtype("<i4")))
     return packed, scales
+
+
+def unpack_i8(packed_row: np.ndarray, scale: float) -> np.ndarray:
+    """Inverse of `to_i8_packed` for one subframe: (RX, n/2) '<i4' words +
+    scale -> (RX, n) complex64 (host side; PRACH correlation runs on host
+    numpy for the occasional allowed subframe)."""
+    b = np.ascontiguousarray(packed_row).view(np.int8)
+    ri = b.astype(np.float32).reshape(packed_row.shape[0], -1, 2) * scale
+    return ri.view(np.complex64).reshape(packed_row.shape[0], -1)
 
 
 def from_ri(x: np.ndarray) -> np.ndarray:

@@ -217,21 +217,42 @@ class LTESnifferCore:
         before batch N's host-side resolve runs, so the ~25 ms tunnel D2H
         latency overlaps device compute (the TPU analog of the reference's
         sync-thread / worker-pool overlap, `Phy.cc:29-55`)."""
-        self._seg_base = self._sf_dispatched
-        self._seg_sf0 = sf_idx0
         n = self.cell.sf_len
         total = len(samples) // n
         if max_subframes is not None:
             total = min(total, max_subframes)
         frames = samples[:total * n].reshape(total, 1, n)
-        sf_idx = (sf_idx0 + np.arange(total)) % 10
         scale = None
         # legacy alias: ingest_int16=False forces the unquantized path
         quant = self.cfg.ingest if self.cfg.ingest_int16 else "f32"
         from ltesniffer_tpu.kernels import cplx
-        dev_stream = dev_scale = None
         if quant == "i8":
             frames, scale = cplx.to_i8_packed(frames)
+        elif quant == "i16":
+            frames, scale = cplx.to_i16(frames)
+        else:
+            quant = "f32"
+        return self._run_quantized(frames, scale, quant, total, sf_idx0)
+
+    def run_packed(self, packed: np.ndarray, scales: np.ndarray,
+                   sf_idx0: int = 0, max_subframes: Optional[int] = None):
+        """Pre-quantized ingest: (T, RX, n/2) packed-int8 IQ words +
+        per-subframe scales, as an 8-bit SDR front-end delivers them
+        (`cplx.to_i8_packed` produces the same layout from complex64)."""
+        total = packed.shape[0]
+        if max_subframes is not None:
+            total = min(total, max_subframes)
+        return self._run_quantized(packed[:total], scales[:total], "i8",
+                                   total, sf_idx0)
+
+    def _run_quantized(self, frames, scale, quant: str, total: int,
+                       sf_idx0: int):
+        self._seg_base = self._sf_dispatched
+        self._seg_sf0 = sf_idx0
+        n = self.cell.sf_len
+        sf_idx = (sf_idx0 + np.arange(total)) % 10
+        dev_stream = dev_scale = None
+        if quant == "i8":
             # ship the WHOLE stream to the device once (async put that
             # overlaps the first batches' compute); steady-state batches
             # slice it on device — per-batch H2D on the axon tunnel is
@@ -239,10 +260,6 @@ class LTESnifferCore:
             import jax
             dev_stream = jax.device_put(frames)
             dev_scale = jax.device_put(scale)
-        elif quant == "i16":
-            frames, scale = cplx.to_i16(frames)
-        else:
-            quant = "f32"
         from collections import deque
         q: deque = deque()
         for a in range(0, total, self.cfg.batch_size):
@@ -314,7 +331,7 @@ class LTESnifferCore:
                     sf_idx: np.ndarray) -> dict:
         """Dispatch the frontend on a device-resident stream slice (no
         per-batch H2D; start index and subframe phase ride as scalars)."""
-        B = self.cfg.batch_size
+        B = len(sf_idx)
         with prof.span("p1_frontend"):
             fe = self.frontend.jitted_i8_at(
                 dev_stream, dev_scale, B, np.int32(a),
@@ -1203,18 +1220,35 @@ class LTESnifferCoreUL(LTESnifferCore):
     def run_dual_samples(self, dl_samples: np.ndarray, ul_samples: np.ndarray,
                          sf_idx0: int = 0,
                          max_subframes: Optional[int] = None):
+        from ltesniffer_tpu.kernels import cplx
         n = self.cell.sf_len
         total = min(len(dl_samples), len(ul_samples)) // n
         if max_subframes is not None:
             total = min(total, max_subframes)
-        dl = dl_samples[:total * n].reshape(total, 1, n)
-        ul = ul_samples[:total * n].reshape(total, 1, n)
+        dl = cplx.to_i8_packed(dl_samples[:total * n].reshape(total, 1, n))
+        ul = cplx.to_i8_packed(ul_samples[:total * n].reshape(total, 1, n))
+        return self.run_dual_packed(dl, ul, sf_idx0)
+
+    def run_dual_packed(self, dl_packed, ul_packed, sf_idx0: int = 0,
+                        max_subframes: Optional[int] = None):
+        """Dual-carrier ingest from pre-quantized packed-int8 IQ: both
+        streams ride device-resident (one bulk put each), batches slice on
+        device (see `run_packed`)."""
+        import jax
+        total = min(dl_packed[0].shape[0], ul_packed[0].shape[0])
+        if max_subframes is not None:
+            total = min(total, max_subframes)
         sf_idx = (sf_idx0 + np.arange(total)) % 10
+        dl_dev = (jax.device_put(dl_packed[0]), jax.device_put(dl_packed[1]))
+        ul_dev = (jax.device_put(ul_packed[0]), jax.device_put(ul_packed[1]))
+        self._seg_base = self._sf_dispatched
+        self._seg_sf0 = sf_idx0
         for a in range(0, total, self.cfg.batch_size):
             if self.stop_requested:
                 break
             b = min(a + self.cfg.batch_size, total)
-            self._process_dual(dl[a:b], ul[a:b], sf_idx[a:b].astype(np.int32))
+            self._process_dual(dl_dev, ul_dev, ul_packed, a, b,
+                               sf_idx[a:b].astype(np.int32))
         self._finish_ul_pending()
         return self.ul_results
 
@@ -1226,12 +1260,15 @@ class LTESnifferCoreUL(LTESnifferCore):
             jobs, pb = prev
             self._finish_ul(jobs, pusch_rx.finish_grants_ul_batch(pb))
 
-    def _process_dual(self, dl_frames, ul_frames, sf_idx):
+    def _process_dual(self, dl_dev, ul_dev, ul_packed, a: int, b: int,
+                      sf_idx):
         from . import pusch_rx
-        # UL grids stay ON DEVICE: the batched grant decode gathers from
-        # them there; only the fused per-grant results come back
-        ul_grids = self.ul_frontend(
-            np.ascontiguousarray(ul_frames, dtype=np.complex64))
+        B = b - a
+        # UL grids stay ON DEVICE: unpacked + demodulated from the
+        # device-resident packed stream; the batched grant decode gathers
+        # from them there and only the fused per-grant results come back
+        ul_grids = self.ul_frontend.jitted_i8_at(ul_dev[0], ul_dev[1], B,
+                                                 np.int32(a))
         if self.cfg.draw_maps:
             from . import observability as obs_mod
             pw = np.asarray(pusch_rx.make_power_map(self.cell)(ul_grids))
@@ -1247,13 +1284,16 @@ class LTESnifferCoreUL(LTESnifferCore):
             tti = trackers.tti_of(ctx["sfn"], ctx["sf"])
             for g in self.ulsche.pop(tti):
                 collected.append((i, ctx["sfn"], ctx["sf"], g))
-            self._work_prach(ul_frames, i, ctx["sfn"], ctx["sf"])
+            self._work_prach(ul_packed, a + i, ctx["sfn"], ctx["sf"])
             idx_holder["i"] += 1
 
         old_hook = self.on_subframe
         self.on_subframe = hook
         try:
-            self.process_batch(dl_frames, sf_idx)
+            ctx = self._phase1_dev(dl_dev[0], dl_dev[1], a, sf_idx)
+            self._phase2(ctx)
+            self._phase3(ctx)
+            self._phase4(ctx)
         finally:
             self.on_subframe = old_hook
         # grouped UL decode, pipelined one batch deep: batch k-1's fused
@@ -1274,12 +1314,10 @@ class LTESnifferCoreUL(LTESnifferCore):
                  13: (1, 3, 5, 7, 9), 14: tuple(range(10)), 15: (9,)}
     _PRACH_EVEN_SFN = {0, 1, 2, 15}
 
-    def _work_prach(self, ul_frames, i: int, sfn: int, sf: int):
+    def _work_prach(self, ul_packed, i: int, sfn: int, sf: int):
         """PRACH detection on allowed UL subframes (`work_prach`,
         `UL_Sniffer_PUSCH.cc:672-713`; config from SIB2 `set_rach_config`,
-        `:657`).  Root indexing note: detection correlates the SIB2 root
-        sequence index as a physical ZC root (the logical->physical
-        Table 5.7.2-4 permutation is not embedded)."""
+        `:657`)."""
         sib2 = self.ulsche.sib2
         if not sib2:
             return
@@ -1288,8 +1326,9 @@ class LTESnifferCoreUL(LTESnifferCore):
             return
         if sf not in self._PRACH_SF.get(cfg_idx, ()):
             return
+        from ltesniffer_tpu.kernels import cplx
         from . import prach_rx
-        frame = np.asarray(ul_frames[i, 0])
+        frame = cplx.unpack_i8(ul_packed[0][i], float(ul_packed[1][i]))[0]
         cp = int(round(self.cell.srate * prach_rx.T_CP))
         dets = prach_rx.detect(
             frame[cp:], self.cell,

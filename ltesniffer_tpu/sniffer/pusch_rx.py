@@ -31,6 +31,18 @@ def make_ul_frontend(cell: CellConfig):
     def run_ri(samples_ri):
         return scfdma.demodulate_ul_ri(samples_ri, cell)
 
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def run_i8_at(stream_p32, scales, B, start):
+        """Device-resident packed-int8 UL stream: slice batch [start,
+        start+B), unpack, demodulate (see `frontend.run_i8_at`)."""
+        p = jax.lax.dynamic_slice_in_dim(stream_p32, start, B, axis=0)
+        sc = jax.lax.dynamic_slice_in_dim(scales, start, B, axis=0)
+        bytes_ = [((p >> (8 * k)) & 0xFF) for k in range(4)]
+        b = jnp.stack(bytes_, axis=-1)
+        b = ((b ^ 0x80) - 0x80).astype(jnp.float32)
+        x = b.reshape(B, p.shape[1], -1, 2) * sc[:, None, None, None]
+        return run_ri(x)
+
     def run(samples):
         x = np.asarray(samples)
         if np.iscomplexobj(x):
@@ -38,6 +50,7 @@ def make_ul_frontend(cell: CellConfig):
         return run_ri(jnp.asarray(x))
 
     run.jitted_ri = run_ri
+    run.jitted_i8_at = run_i8_at
     return run
 
 
