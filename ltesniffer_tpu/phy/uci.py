@@ -35,36 +35,48 @@ BETA_CQI = (0.0, 0.0, 1.125, 1.250, 1.375, 1.625, 1.750, 2.000,
             2.250, 2.500, 2.875, 3.125, 3.500, 4.000, 5.000, 6.250)
 
 
-def uci_symbol_counts(nof_ack: int, ri_len: int, i_offset_ack: int,
-                      i_offset_ri: int, n_prb: int, tbs: int):
-    """(n_ri_syms, n_ack_syms) for a PUSCH grant.
+N_SYMB_PUSCH = 12      # 2*(N_symb_UL - 1), normal CP, no SRS subtraction
 
-    The reference feeds nof_acks (matched from the subframe's DL DCIs,
-    `SubframeWorker.cc:319-337`) and the UE-config beta offsets into
-    srsRAN's UCI demux (`UL_Sniffer_PUSCH.cc:429-450`); here the 36.212
-    5.2.2.6 Q' formula is evaluated directly with the current grant
-    (M_sc * N_symb = 12 * n_prb subcarriers x 12 data symbols) and
-    sum(K_r) from the TB's turbo segmentation."""
+
+def uci_symbol_counts(nof_ack: int, ri_len: int, i_offset_ack: int,
+                      i_offset_ri: int, n_prb_initial: int,
+                      tbs_initial: int, n_prb_current: int = 0):
+    """(n_ri_syms, n_ack_syms) for a PUSCH grant — EXACT 36.212 5.2.2.6:
+
+      Q' = min(ceil(O * M_sc^init * N_symb^init * beta / sum_r K_r),
+               4 * M_sc^current)
+
+    with M_sc^init / sum K_r from the TB's INITIAL grant (an adaptive
+    retransmission keeps the first allocation's dims) and the 4*M_sc cap
+    from the CURRENT grant.  The reference feeds nof_acks (matched from
+    the subframe's DL DCIs, `SubframeWorker.cc:319-337`) and the
+    UE-config beta offsets into srsRAN's identical computation
+    (`UL_Sniffer_PUSCH.cc:429-450`)."""
     if nof_ack <= 0 and ri_len <= 0:
         return 0, 0
-    from ltesniffer_tpu.phy import turbo as turbo_mod
-    m_sc = 12 * n_prb
-    sum_kr = int(np.sum(turbo_mod.segment_sizes(tbs).K)) if tbs > 0 else 1
-    n_ack = q_prime(nof_ack, BETA_ACK[i_offset_ack & 15], m_sc, sum_kr)
-    n_ri = q_prime(ri_len, BETA_RI[i_offset_ri & 15], m_sc, sum_kr)
+    if n_prb_current <= 0:
+        n_prb_current = n_prb_initial
+    sum_kr = _sum_kr(tbs_initial)
+    m_init = 12 * n_prb_initial
+    cap = 4 * 12 * n_prb_current
+    n_ack = q_prime(nof_ack, BETA_ACK[i_offset_ack & 15], m_init,
+                    sum_kr, cap)
+    n_ri = q_prime(ri_len, BETA_RI[i_offset_ri & 15], m_init, sum_kr, cap)
     return n_ri, n_ack
 
 
-def q_prime(o_bits: int, beta: float, m_sc: int, g_symbols: int) -> int:
-    """Approximate Q' (modulation symbols per UCI field).
+def _sum_kr(tbs: int) -> int:
+    from ltesniffer_tpu.phy import turbo as turbo_mod
+    return int(np.sum(turbo_mod.segment_sizes(tbs).K)) if tbs > 0 else 1
 
-    Q' = min(ceil(O * beta * M_sc * N_symb / G_data_bits_per_qm), 4 * M_sc)
-    collapsed to the current-grant form.
-    """
+
+def q_prime(o_bits: int, beta: float, m_sc_initial: int, sum_kr: int,
+            cap: int) -> int:
+    """Exact Q' (modulation symbols) for HARQ-ACK / RI, 36.212 5.2.2.6."""
     if o_bits <= 0:
         return 0
-    q = int(np.ceil(o_bits * beta * m_sc * 12 / max(g_symbols, 1)))
-    return min(max(q, o_bits), 4 * m_sc)
+    q = -(-o_bits * m_sc_initial * N_SYMB_PUSCH * beta // max(sum_kr, 1))
+    return int(min(q, cap))
 
 
 def cqi_hl_subband_size(n_prb: int) -> int:
@@ -96,20 +108,25 @@ def aperiodic_cqi_bits(n_prb_dl: int, wideband_only: bool = False) -> int:
     return 4 + 2 * cqi_hl_subband_count(n_prb_dl)
 
 
-def cqi_q_prime(o_cqi: int, i_offset_cqi: int, n_prb: int, tbs: int,
-                n_ri_syms: int = 0) -> int:
-    """Q'_CQI (modulation symbols) per 36.212 5.2.2.6: the CQI+CRC payload
-    scaled by beta_offset^CQI against the data's code rate; capped so data
-    keeps at least half the cells."""
+def cqi_q_prime(o_cqi: int, i_offset_cqi: int, n_prb_initial: int,
+                tbs_initial: int, n_ri_syms: int = 0,
+                n_prb_current: int = 0) -> int:
+    """Q'_CQI (modulation symbols) — EXACT 36.212 5.2.2.6:
+
+      Q' = min(ceil((O + L) * M_sc^init * N_symb^init * beta / sum_r K_r),
+               M_sc^current * N_symb^current - Q'_RI)
+
+    L = 8-bit CRC only when the payload exceeds 11 bits."""
     if o_cqi <= 0:
         return 0
-    from ltesniffer_tpu.phy import turbo as turbo_mod
-    L = 8 if o_cqi >= 12 else 0   # CRC8 only for payloads > 11 bits
-    m_sc = 12 * n_prb
-    sum_kr = int(np.sum(turbo_mod.segment_sizes(tbs).K)) if tbs > 0 else 1
+    if n_prb_current <= 0:
+        n_prb_current = n_prb_initial
+    L = 8 if o_cqi >= 12 else 0
+    sum_kr = _sum_kr(tbs_initial)
     beta = BETA_CQI[i_offset_cqi & 15]
-    q = int(np.ceil((o_cqi + L) * beta * m_sc * 12 / max(sum_kr, 1)))
-    return min(max(q, o_cqi + L), (12 * m_sc - n_ri_syms) // 2)
+    q = -(-(o_cqi + L) * 12 * n_prb_initial * N_SYMB_PUSCH * beta
+          // max(sum_kr, 1))
+    return int(min(q, 12 * n_prb_current * N_SYMB_PUSCH - n_ri_syms))
 
 
 def uci_positions(m_sc: int, qm: int, n_ri_syms: int, n_ack_syms: int):

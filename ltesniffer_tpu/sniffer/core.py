@@ -1327,18 +1327,28 @@ class LTESnifferCoreUL(LTESnifferCore):
         if sf not in self._PRACH_SF.get(cfg_idx, ()):
             return
         from ltesniffer_tpu.kernels import cplx
+        from ltesniffer_tpu.phy import prach_roots
         from . import prach_rx
         frame = cplx.unpack_i8(ul_packed[0][i], float(ul_packed[1][i]))[0]
         cp = int(round(self.cell.srate * prach_rx.T_CP))
+        # SIB2 rootSequenceIndex is LOGICAL (36.211 Table 5.7.2-4); the
+        # cell's 64 preambles span consecutive logical roots at the
+        # zeroCorrelationZone's N_cs
+        roots, n_cs, mapped = prach_roots.cell_roots(
+            int(sib2.get("prach_root_seq_index", 0)),
+            int(sib2.get("zero_correlation_zone", 1)))
         dets = prach_rx.detect(
-            frame[cp:], self.cell,
-            roots=[int(sib2.get("prach_root_seq_index", 0))],
+            frame[cp:], self.cell, roots=roots, n_cs=n_cs,
             prach_freq_offset=int(sib2.get("prach_freq_offset", 4)),
             threshold=8.0)
+        shifts_per_root = (839 // n_cs) if n_cs > 0 else 64
         for d in dets:
+            ri = roots.index(d.root)
             self.prach_detections.append(dict(
-                sfn=sfn, sf_idx=sf, root=d.root, preamble=d.preamble,
-                peak=d.peak, ta_samples=d.ta_samples))
+                sfn=sfn, sf_idx=sf, root=d.root,
+                preamble=ri * shifts_per_root + d.preamble,
+                peak=d.peak, ta_samples=d.ta_samples,
+                logical_mapped=mapped))
 
     def _build_ul_jobs(self, collected) -> List:
         from . import pusch_rx
@@ -1378,7 +1388,8 @@ class LTESnifferCoreUL(LTESnifferCore):
                             if init_itbs >= 0 else tbs)
                 n_ri, n_ack = uci_mod.uci_symbol_counts(
                     g.nof_ack, ri_len, ue_cfg.uci_offset_ack,
-                    ue_cfg.uci_offset_ri, init_prb, init_tbs)
+                    ue_cfg.uci_offset_ri, init_prb, init_tbs,
+                    n_prb_current=g.n_prb)
                 n_cqi = 0
                 if g.cqi_request:
                     # aperiodic CQI rides this PUSCH: subband-HL payload
@@ -1390,7 +1401,7 @@ class LTESnifferCoreUL(LTESnifferCore):
                         wideband_only=ue_cfg.cqi_mode == 0)
                     n_cqi = uci_mod.cqi_q_prime(
                         o_cqi, ue_cfg.uci_offset_cqi, init_prb, init_tbs,
-                        n_ri_syms=n_ri)
+                        n_ri_syms=n_ri, n_prb_current=g.n_prb)
                 jobs.append(pusch_rx.UlGrantJob(
                     b=i, sf_idx=sf, rnti=g.rnti, prb_start=g.prb_start,
                     n_prb=g.n_prb, qm=qm, tbs=tbs,

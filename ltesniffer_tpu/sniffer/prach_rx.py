@@ -6,8 +6,8 @@ roots (conj multiply + 839-IFFT), detect cyclic-shift peaks -> preamble index
 + timing advance.  Replaces srsRAN `prach` as used for the reference's debug
 PRACH output (`src/src/UL_Sniffer_PUSCH.cc:657-713`).
 
-Logical->physical root ordering (Table 5.7.2-4) is not embedded; configure
-physical roots directly (the sniffer only needs to mirror the cell's SIB2).
+`detect` takes PHYSICAL roots; the SIB2 logical rootSequenceIndex is
+translated by `phy.prach_roots` (Table 5.7.2-4) in `core._work_prach`.
 """
 from __future__ import annotations
 

@@ -113,3 +113,56 @@ def test_subframe_power_map_device():
     ref = (np.abs(g[0, 0]) ** 2).mean(axis=0).reshape(CELL.n_prb, 12).mean(-1)
     np.testing.assert_allclose(pw[0], 10 * np.log10(ref), atol=1e-3)
     assert pw[0, 0] > pw[0, 1] + 15
+
+
+def test_prach_logical_root_mapping():
+    """36.211 Table 5.7.2-4: spec anchor rows for the logical->physical
+    mapping, pair structure, and the cell_roots() multi-root span."""
+    from ltesniffer_tpu.phy import prach_roots as pr
+    # published anchor entries of Table 5.7.2-4
+    assert pr.logical_to_physical(0) == 129
+    assert pr.logical_to_physical(1) == 710
+    assert pr.logical_to_physical(22) == 1
+    assert pr.logical_to_physical(23) == 838
+    assert pr.logical_to_physical(92) == 128
+    assert pr.logical_to_physical(93) == 711
+    # pair structure u + u' = 839 throughout the embedded prefix
+    for i in range(0, pr.MAX_KNOWN_LOGICAL, 2):
+        assert (pr.logical_to_physical(i)
+                + pr.logical_to_physical(i + 1)) == 839
+    # zeroCorrelationZone 1 -> N_cs 13 -> 64 shifts per root: one root
+    roots, n_cs, mapped = pr.cell_roots(92, 1)
+    assert mapped and n_cs == 13 and roots == [128]
+    # N_cs 119 -> 7 shifts/root -> 10 roots, consecutive logical indices
+    roots, n_cs, mapped = pr.cell_roots(0, 12)
+    assert mapped and n_cs == 119 and len(roots) == 10
+    assert roots[:4] == [129, 710, 140, 699]
+    # beyond the embedded prefix: flagged physical fallback, not silence
+    roots, n_cs, mapped = pr.cell_roots(500, 1)
+    assert not mapped and roots == [500]
+
+
+def test_prach_e2e_logical_root_detection():
+    """A UE transmitting on the PHYSICAL root of a non-trivial LOGICAL
+    SIB2 rootSequenceIndex is detected by the logical-driven receiver."""
+    from ltesniffer_tpu.phy import prach_roots as pr
+    from ltesniffer_tpu.kernels import cplx
+    from ltesniffer_tpu.sniffer import core
+    rng = np.random.default_rng(7)
+    logical = 60                         # -> physical 178
+    u = pr.logical_to_physical(logical)
+    assert u == 178
+    cfg = core.SnifferConfig(cell=CELL)
+    c = core.LTESnifferCoreUL(cfg)
+    c.ulsche.set_sib2(dict(prach_root_seq_index=logical,
+                           prach_config_index=14,   # every subframe
+                           prach_freq_offset=4, zero_correlation_zone=1))
+    tx = prach_rx.prach_tx(CELL, u, 5 * 13)          # preamble 5
+    frame = np.zeros(CELL.sf_len, np.complex64)
+    frame[:len(tx)] = tx
+    frame += 0.02 * (rng.standard_normal(CELL.sf_len)
+                     + 1j * rng.standard_normal(CELL.sf_len))
+    packed = cplx.to_i8_packed(frame.reshape(1, 1, -1).astype(np.complex64))
+    c._work_prach(packed, 0, sfn=2, sf=1)
+    hits = [d for d in c.prach_detections if d["preamble"] == 5]
+    assert hits and hits[0]["root"] == u and hits[0]["logical_mapped"]

@@ -167,3 +167,36 @@ def test_cqi_sizing_helpers():
     assert uci.cqi_hl_subband_count(100) == 13  # ceil(100/8)
     assert uci.aperiodic_cqi_bits(50) == 4 + 2 * 9
     assert uci.aperiodic_cqi_bits(50, wideband_only=True) == 4
+
+
+def test_q_prime_exact_spec_vectors():
+    """Hand-computed 36.212 5.2.2.6 vectors (exact formula, not the old
+    collapsed approximation)."""
+    from ltesniffer_tpu.phy import uci
+    # O=2 ACK, I_ack=0 -> beta 2.0, initial 4 PRB (M_sc=48), TBS 392 ->
+    # B=416 -> K=416: Q' = ceil(2*48*12*2.0/416) = ceil(5.54) = 6
+    n_ri, n_ack = uci.uci_symbol_counts(2, 0, 0, 0, 4, 392)
+    assert (n_ri, n_ack) == (0, 6)
+    # RI: O=1, I_ri=5 -> beta 4.0, same grant:
+    # ceil(1*48*12*4.0/416) = ceil(5.54) = 6
+    n_ri, _ = uci.uci_symbol_counts(0, 1, 0, 5, 4, 392)
+    assert n_ri == 6
+    # cap comes from the CURRENT grant: initial 10 PRB but current 1 PRB
+    # -> cap 4*12 = 48
+    _, n_ack = uci.uci_symbol_counts(20, 0, 14, 0, 10, 16,
+                                     n_prb_current=1)
+    assert n_ack == 48
+    # retransmission wider than initial: cap loosens with current n_prb
+    _, n_ack_wide = uci.uci_symbol_counts(20, 0, 14, 0, 10, 16,
+                                          n_prb_current=25)
+    assert n_ack_wide > 48
+    # no artificial O floor: huge TB makes Q' tiny but >= 1 via ceil
+    _, n_ack_small = uci.uci_symbol_counts(1, 0, 0, 0, 100, 75376)
+    # ceil(1*1200*12*2.0/sum_Kr(75376)): sum_Kr = 13 blocks ~ 76304
+    assert n_ack_small == 1
+    # CQI: O=12 (+CRC8), I_cqi=2 -> beta 1.125, initial 4 PRB TBS 392:
+    # ceil(20*48*12*1.125/416) = ceil(31.15) = 32
+    assert uci.cqi_q_prime(12, 2, 4, 392) == 32
+    # CQI cap: all current cells minus RI
+    assert uci.cqi_q_prime(100, 15, 20, 16, n_ri_syms=5,
+                           n_prb_current=1) == 12 * 12 - 5

@@ -153,8 +153,10 @@ def test_prach_wired_into_ul_loop():
     ul = ul.copy()
     ul[3 * n:3 * n + len(tx)] += 3.0 * tx
     c = core.LTESnifferCoreUL(core.SnifferConfig(cell=CELL, batch_size=6))
-    c.ulsche.set_sib2(dict(prach_config_index=14, prach_root_seq_index=u,
-                           prach_freq_offset=4))
+    # SIB2 carries the LOGICAL index: logical 0 -> physical u=129
+    # (36.211 Table 5.7.2-4)
+    c.ulsche.set_sib2(dict(prach_config_index=14, prach_root_seq_index=0,
+                           prach_freq_offset=4, zero_correlation_zone=1))
     c.run_dual_samples(dl, ul)
     hits = [d for d in c.prach_detections if d["sf_idx"] == 3]
     assert hits, f"no PRACH detection at sf 3: {c.prach_detections}"
