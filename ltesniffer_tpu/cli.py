@@ -61,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--draw", action="store_true",
                    help="print ASCII RB-allocation / UL power maps per "
                    "subframe (DCIDrawASCII/PowerDrawASCII analog)")
+    p.add_argument("--live", action="store_true",
+                   help="emulate real-time ingest: drop + count subframes "
+                   "when processing lags the 1 ms cadence (the reference's "
+                   "overload shedding); requires --sync stream mode")
     return p
 
 
@@ -121,7 +125,8 @@ def main(argv=None) -> int:
                              table_every_s=args.tables,
                              dci_trace_path=args.dci_trace,
                              mcs_csv_path=args.csv,
-                             draw_maps=args.draw)
+                             draw_maps=args.draw,
+                             live_mode=args.live)
     t0 = time.time()
     if args.ul_input:
         if not os.path.exists(args.ul_input):

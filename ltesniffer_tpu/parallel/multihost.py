@@ -24,7 +24,11 @@ every histogram-validated acceptance matches the 1-host run; the 10 s
 active-set lifetime (`RNTIManager.h:42`) means an RNTI *activated* by RAR
 more than `overlap_sf` before the boundary and silent since would drop to
 histogram re-validation on the next block — extend `overlap_sf` (up to
-10 s) when exact parity across such silences matters.
+10 s) when exact parity across such silences matters.  The divergence is
+BOUNDED and ONE-SIDED: at most `histogram_threshold` of the silent RNTI's
+earliest post-boundary records are missed, never added (measured in
+`tests/test_multihost.py::
+test_multihost_rar_silence_past_overlap_divergence_bound`).
 
 Absolute time: each block's core is seeded with `sfn0`/`sf_idx0` derived
 from the block's absolute subframe offset, so per-record (sfn, sf_idx)

@@ -61,6 +61,12 @@ class SnifferConfig:
     # whose D2H reads drain behind ALL queued device work — deeper queues
     # make every read wait longer), 3 = the legacy 4-phase deep pipeline
     pipeline_depth: int = 2
+    # live-mode overload shedding (`LTESniffer_Core.cc:443-451`): when
+    # run_stream falls more than live_buffer_sf subframes behind the
+    # radio's 1 ms cadence, incoming subframes are DROPPED and counted
+    # (the reference drops when its 20-worker ring is exhausted)
+    live_mode: bool = False
+    live_buffer_sf: int = 20
 
 
 @dataclasses.dataclass
@@ -97,6 +103,7 @@ class LTESnifferCore:
         self.ulsche = trackers.ULSchedule()
         self.soft_buffers = trackers.SoftBufferPool(cfg.max_harq_retx_buffers)
         self.harq_skipped = 0
+        self.sf_skipped = 0       # live-mode overload drops
         self.frontend = frontend.make_frontend(self.cell)
         self.sfn = cfg.sfn0
         self.sf_count = 0
@@ -182,6 +189,7 @@ class LTESnifferCore:
         seg: List[np.ndarray] = []
         seg_sf0 = self.tracker.sf_idx
         done = 0
+        t0 = time.monotonic()
 
         def flush():
             nonlocal seg
@@ -201,8 +209,22 @@ class LTESnifferCore:
                 self._mib_sf0_seen = 0
                 self.sync_losses += 1
                 self.tracker.sync_lost = False
-            seg.append(frame)
             done += 1
+            if self.cfg.live_mode:
+                # overload shedding: this subframe "arrived" at done ms on
+                # the radio clock; if processing lags more than the buffer
+                # ring can absorb, drop it and count (`LTESniffer_Core.cc:
+                # 443-451,557-562` getAvailImmediate + skip counter)
+                lag_sf = (time.monotonic() - t0) * 1e3 - done
+                if lag_sf > self.cfg.live_buffer_sf:
+                    self.sf_skipped += 1
+                    if self.heartbeat is not None:
+                        self.heartbeat.tick(0, skipped=1)
+                    if seg:                 # keep subframe continuity
+                        flush()
+                    seg_sf0 = (sf_idx + 1) % 10
+                    continue
+            seg.append(frame)
             if len(seg) >= chunk_subframes:
                 flush()
                 seg_sf0 = self.tracker.sf_idx
@@ -1164,6 +1186,7 @@ class LTESnifferCore:
             "dcis": len(self.results),
             "pdsch_ok": ok,
             "harq_skipped": self.harq_skipped,
+            "sf_skipped": self.sf_skipped,
             "active_rntis": len(self.rm.active_set()),
             "sync_losses": self.sync_losses,
             "resyncs": self.tracker.resyncs if self.tracker else 0,

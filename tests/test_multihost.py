@@ -134,3 +134,78 @@ def test_multihost_runner_processes(tmp_path):
     merged = pcap.read_pcap(str(merged_pcap))
     assert [_pcap_key(x) for x in merged] == \
         [_pcap_key(x) for x in single_recs]
+
+
+def _build_rar_silence_trace(n_sf, rar_sf, resume_sf, t_crnti):
+    """RAR-activated T-CRNTI silent from `rar_sf` until `resume_sf`."""
+    sb = scenario.ScenarioBuilder(CELL, seed=33)
+    pdu = mac.build_mac_pdu([mac.MacSubPdu(lcid=3, payload=b"late-ue")])
+    keep = mac.build_mac_pdu([mac.MacSubPdu(lcid=3, payload=b"steady")])
+    rar = mac.build_rar_pdu([mac.Rar(rapid=3, ta=10,
+                                     grant=(0 << 19) | (77 << 9) | (5 << 5),
+                                     t_crnti=t_crnti)])
+    for j in range(n_sf):
+        sf = j % 10
+        txs = []
+        if j == rar_sf:
+            txs.append(scenario.DlTx(rnti=0x0005, mac_pdu=rar, n_prb=6))
+        if j >= 2:      # steady background UE keeps the cell busy
+            txs.append(scenario.DlTx(rnti=0x4100, mac_pdu=keep, n_prb=10,
+                                     prb_start=24, harq_pid=j % 8,
+                                     ndi=(j // 8) % 2))
+        if j >= resume_sf:
+            txs.append(scenario.DlTx(rnti=t_crnti, mac_pdu=pdu, n_prb=8,
+                                     prb_start=4, harq_pid=j % 8,
+                                     ndi=(j // 8) % 2))
+        sb.add_subframe(sf, txs)
+    return sb.stream()
+
+
+def test_multihost_rar_silence_past_overlap_divergence_bound():
+    """VERDICT round-3 weak #6: an RNTI activated by RAR, silent LONGER
+    than overlap_sf, resuming just after the block boundary.
+
+    With the silence exceeding the replay horizon, host 1 cannot see the
+    RAR activation; the resumed RNTI re-validates via the histogram.  The
+    divergence is bounded and one-sided: the merged result may MISS at
+    most histogram_threshold of the earliest resumed-RNTI records, and
+    must contain no extras; every other record matches 1-host exactly.
+    With overlap covering the RAR, parity is exact."""
+    import tempfile, pathlib
+    t_crnti = 0x4D0D
+    n_sf, rar_sf, boundary, resume_sf = 120, 4, 60, 62
+    stream = _build_rar_silence_trace(n_sf, rar_sf, resume_sf, t_crnti)
+    with tempfile.TemporaryDirectory() as td:
+        tmp = pathlib.Path(td)
+        single, _ = _run_single(tmp, stream)
+        single_keys = [_result_key(r) for r in single.results]
+        # single host accepts the resumed RNTI immediately (RAR-active)
+        assert any(r.dci.rnti == t_crnti for r in single.results)
+
+        # (a) overlap 40 < silence (resume 62 - rar 4 = 58): divergence,
+        # but bounded and one-sided
+        blocks, cores = _run_hosts(tmp, stream, 2, overlap_sf=40)
+        merged = multihost.merge_accepted([c.results for c in cores],
+                                          blocks)
+        merged_keys = [_result_key(r) for r in merged]
+        missing = [k for k in single_keys if k not in merged_keys]
+        extra = [k for k in merged_keys if k not in single_keys]
+        assert not extra, "divergence must never add records"
+        assert all(k[2] == t_crnti for k in missing), \
+            "only the silent RAR RNTI may diverge"
+        thresh = core.SnifferConfig(cell=CELL).histogram_threshold
+        assert len(missing) <= thresh, (len(missing), thresh)
+        # the missing records are the EARLIEST resumed occurrences: once
+        # re-validated, everything matches
+        t_single = [k for k in single_keys if k[2] == t_crnti]
+        assert missing == t_single[:len(missing)]
+
+        # (b) overlap covering the RAR: exact parity
+        blocks2, cores2 = _run_hosts(tmp, stream, 2,
+                                     overlap_sf=boundary - rar_sf + 1)
+        merged2 = multihost.merge_accepted([c.results for c in cores2],
+                                           blocks2)
+        # RAR records are emitted synchronously (phase-3), so the single
+        # core's emission order is not TTI order — compare as sorted sets
+        assert sorted(_result_key(r) for r in merged2) == \
+            sorted(single_keys)

@@ -154,3 +154,28 @@ def test_cli_sigint_graceful_stop(tmp_path):
     assert isinstance(recs, list)
     # handler restored afterwards
     assert signal.getsignal(signal.SIGINT) not in (None,)
+
+
+def test_live_mode_overload_drops_and_counts():
+    """Live-mode overload shedding: when processing lags the radio's 1 ms
+    cadence beyond the buffer ring, subframes are dropped and counted
+    (`LTESniffer_Core.cc:443-451,557-562`)."""
+    import io as _io
+    import time as _time
+    from ltesniffer_tpu.sniffer import observability as obs_mod
+
+    sb = scenario.ScenarioBuilder(CELL, seed=5)
+    for j in range(30):
+        sb.add_subframe(j % 10, [])
+    stream = sb.stream()
+    cfg = core.SnifferConfig(cell=CELL, batch_size=4, heartbeat=True,
+                             live_mode=True, live_buffer_sf=5)
+    c = core.LTESnifferCore(cfg)
+    c.heartbeat = obs_mod.Heartbeat(out=_io.StringIO(), every=10)
+    # make per-subframe processing slower than real time
+    c.on_subframe = lambda ctx: _time.sleep(0.004)
+    c.run_stream(stream, chunk_subframes=4)
+    s = c.summary()
+    assert s["sf_skipped"] > 0
+    assert s["subframes"] + s["sf_skipped"] <= 30
+    assert c.heartbeat.skipped == s["sf_skipped"]
