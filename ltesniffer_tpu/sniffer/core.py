@@ -57,10 +57,10 @@ class SnifferConfig:
     table_every_s: float = 0.0             # >0: periodic DL/UL tables
     draw_maps: bool = False                # ASCII RB/power maps per subframe
     # batches in flight in run_samples: 1 = fully synchronous, 2 = read
-    # batch k's results while batch k+1 computes (best on the axon tunnel,
-    # whose D2H reads drain behind ALL queued device work — deeper queues
-    # make every read wait longer), 3 = the legacy 4-phase deep pipeline
-    pipeline_depth: int = 2
+    # batch k's results while batch k+1 computes, 3 = the 4-phase deep
+    # pipeline (measured best with device-resident ingest: the deeper
+    # queue overlaps host resolve with device compute)
+    pipeline_depth: int = 3
     # live-mode overload shedding (`LTESniffer_Core.cc:443-451`): when
     # run_stream falls more than live_buffer_sf subframes behind the
     # radio's 1 ms cadence, incoming subframes are DROPPED and counted
@@ -402,10 +402,11 @@ class LTESnifferCore:
                     base=base, fbase=fbase, stage=1)
 
     # blind-search device calls run on fixed-size chunks: one compiled
-    # variant per cfi regardless of the outer batch size (the fused
-    # multi-size Viterbi's compile time grows badly with batch), and the
-    # per-chunk fused D2H copies overlap each other in flight
-    SEARCH_CHUNK = 32
+    # variant regardless of the outer batch size (the fused multi-size
+    # Viterbi's compile time grows badly with batch), and the per-chunk
+    # fused D2H copies overlap each other in flight.  64 measured best on
+    # the tunnel chip (32 pays more per-call overhead, 256 runs slower).
+    SEARCH_CHUNK = 64
 
     def _phase2(self, ctx: dict):
         """Read fused scalars; group by CFI; dispatch the blind search and
