@@ -132,7 +132,20 @@ def parse_nas(pdu: bytes) -> Optional[NasInfo]:
     pd = pdu[0] & 0x0F
     if pd != PD_EMM:
         return None
-    if sec_hdr not in (0, 1):   # ciphered -> nothing to extract
+    if sec_hdr in (2, 4):
+        # "integrity protected and ciphered": with EEA0 (null ciphering —
+        # what the reference's captures and many live cells run) the inner
+        # message is plaintext; parse opportunistically and keep it only
+        # if it frames as EMM (the reference extracts identities from
+        # exactly these, `DL_Sniffer_PDSCH.cc:804-879`)
+        inner = pdu[6:]
+        if len(inner) >= 2 and (inner[0] & 0x0F) == PD_EMM \
+                and (inner[0] >> 4) == 0:
+            out = parse_nas(inner)
+            if out is not None and out.msg_type > 0:
+                return out
+        return NasInfo(msg_type=-1, msg_name="ciphered")
+    if sec_hdr not in (0, 1):
         return NasInfo(msg_type=-1, msg_name="ciphered")
     body = pdu if sec_hdr == 0 else pdu[6:]
     if len(body) < 2:

@@ -579,6 +579,157 @@ class Reconfiguration:
     complete: bool = True
 
 
+_Q_OFFSET_BITS = 5            # Q-OffsetRange: 31 enum values
+
+
+def _skip_threshold_eutra(r: BitReader):
+    if r.read(1) == 0:
+        r.read(7)                        # threshold-RSRP (0..97)
+    else:
+        r.read(6)                        # threshold-RSRQ (0..34)
+
+
+def _skip_report_config_eutra(r: BitReader):
+    if r.read(1):
+        raise _Bail()
+    if r.read(1) == 0:                   # triggerType: event
+        if r.read(1):                    # eventId extension
+            raise _Bail()
+        ev = r.read(3)                   # a1..a5 (+3 spare? rel8: 5 root)
+        if ev in (0, 1, 3):              # a1/a2/a4: one threshold
+            _skip_threshold_eutra(r)
+        elif ev == 2:                    # a3: offset + reportOnLeave
+            r.read(6)                    # a3-Offset (-30..30)
+            r.read(1)
+        elif ev == 4:                    # a5: two thresholds
+            _skip_threshold_eutra(r)
+            _skip_threshold_eutra(r)
+        else:
+            raise _Bail()
+        r.read(5)                        # hysteresis (0..30)
+        r.read(4)                        # timeToTrigger (16 values)
+    else:                                # periodical
+        r.read(1)                        # purpose (2 values)
+    r.read(1)                            # triggerQuantity
+    r.read(1)                            # reportQuantity
+    r.read(3)                            # maxReportCells (1..8)
+    r.read(4)                            # reportInterval (16 values)
+    r.read(3)                            # reportAmount (8 values)
+
+
+def _skip_meas_object_eutra(r: BitReader):
+    if r.read(1):
+        raise _Bail()
+    has = [r.read(1) for _ in range(6)]  # offsetFreq DEFAULT + 5 optionals
+    r.read(16)                           # carrierFreq
+    r.read(3)                            # allowedMeasBandwidth (6 values)
+    r.read(1)                            # presenceAntennaPort1
+    r.read(2)                            # neighCellConfig BIT(2)
+    if has[0]:
+        r.read(_Q_OFFSET_BITS)           # offsetFreq
+    if has[1]:                           # cellsToRemoveList (1..32 of 1..32)
+        n = r.read(5) + 1
+        for _ in range(n):
+            r.read(5)
+    if has[2]:                           # cellsToAddModList
+        n = r.read(5) + 1
+        for _ in range(n):
+            r.read(5)                    # cellIndex
+            r.read(9)                    # physCellId
+            r.read(_Q_OFFSET_BITS)       # cellIndividualOffset
+    if has[3]:                           # blackCellsToRemoveList
+        n = r.read(5) + 1
+        for _ in range(n):
+            r.read(5)
+    if has[4]:                           # blackCellsToAddModList
+        n = r.read(5) + 1
+        for _ in range(n):
+            r.read(5)
+            has_range = r.read(1)        # physCellIdRange preamble
+            r.read(9)                    # start
+            if has_range:
+                r.read(4)                # range (16 values)
+    if has[5]:
+        r.read(5)                        # cellForWhichToReportCGI (1..32)
+
+
+def _skip_meas_config(r: BitReader):
+    """MeasConfig (rel-8), EUTRA subset: field-exact skip so the
+    Reconfiguration fields AFTER it (dedicatedInfoNASList,
+    radioResourceConfigDedicated) stay parseable.  Inter-RAT objects bail."""
+    if r.read(1):
+        raise _Bail()
+    has = [r.read(1) for _ in range(11)]
+    if has[0]:                           # measObjectToRemoveList
+        n = r.read(5) + 1
+        for _ in range(n):
+            r.read(5)
+    if has[1]:                           # measObjectToAddModList
+        n = r.read(5) + 1
+        for _ in range(n):
+            r.read(5)                    # measObjectId
+            if r.read(1):                # measObject CHOICE extension
+                raise _Bail()
+            which = r.read(2)
+            if which != 0:               # only measObjectEUTRA modeled
+                raise _Bail()
+            _skip_meas_object_eutra(r)
+    if has[2]:                           # reportConfigToRemoveList
+        n = r.read(5) + 1
+        for _ in range(n):
+            r.read(5)
+    if has[3]:                           # reportConfigToAddModList
+        n = r.read(5) + 1
+        for _ in range(n):
+            r.read(5)                    # reportConfigId
+            if r.read(1) != 0:           # CHOICE: only reportConfigEUTRA
+                raise _Bail()
+            _skip_report_config_eutra(r)
+    if has[4]:                           # measIdToRemoveList
+        n = r.read(5) + 1
+        for _ in range(n):
+            r.read(5)
+    if has[5]:                           # measIdToAddModList
+        n = r.read(5) + 1
+        for _ in range(n):
+            r.read(5)
+            r.read(5)
+            r.read(5)
+    if has[6]:                           # quantityConfig
+        if r.read(1):
+            raise _Bail()
+        q = [r.read(1) for _ in range(4)]
+        if q[0]:                         # quantityConfigEUTRA
+            fp = r.read(1)               # filterCoefficientRSRP DEFAULT
+            fq = r.read(1)               # filterCoefficientRSRQ DEFAULT
+            if fp:
+                r.read(4)
+            if fq:
+                r.read(4)
+        if q[1] or q[2] or q[3]:
+            raise _Bail()                # inter-RAT quantity configs
+    if has[7]:                           # measGapConfig
+        if r.read(1):                    # setup
+            if r.read(1):                # gapOffset CHOICE extension
+                raise _Bail()
+            if r.read(1) == 0:
+                r.read(6)                # gp0 (0..39)
+            else:
+                r.read(7)                # gp1 (0..79)
+    if has[8]:
+        r.read(7)                        # s-Measure (0..97)
+    if has[9]:
+        raise _Bail()                    # preRegistrationInfoHRPD
+    if has[10]:                          # speedStatePars
+        if r.read(1):                    # setup
+            r.read(3)                    # t-Evaluation
+            r.read(3)                    # t-HystNormal
+            r.read(4)                    # n-CellChangeMedium (1..16)
+            r.read(4)                    # n-CellChangeHigh
+            r.read(2)                    # timeToTrigger-SF sf-Medium
+            r.read(2)                    # sf-High
+
+
 def encode_dl_info_transfer(nas_pdu: bytes) -> bytes:
     w = BitWriter()
     w.write(0, 1)                       # c1
@@ -667,9 +818,14 @@ def decode_dl_dcch(data: bytes):
             has_rrcd = r.read(1)
             r.read(1)                   # securityConfigHO flag
             r.read(1)                   # nonCriticalExtension flag
-            if rec.has_meas_config or rec.has_mobility_control:
-                # measConfig / mobilityControlInfo grammar outside the
-                # subset: the NAS list position is unknown past here
+            if rec.has_meas_config:
+                try:
+                    _skip_meas_config(r)
+                except _Bail:
+                    rec.complete = False
+                    return ("reconfiguration", rec)
+            if rec.has_mobility_control:
+                # handover mobilityControlInfo outside the subset
                 rec.complete = False
                 return ("reconfiguration", rec)
             if has_nas:

@@ -171,3 +171,44 @@ def test_roundtrip_still_matches_real_grammar():
     ni = nas.parse_nas(r.nas_pdus[0])
     assert ni.msg_name == "attach_accept"
     assert ni.identity.guti["m_tmsi"] == 0xCD5D47EC
+
+
+# DL DCCH RRCConnectionReconfiguration (RLC AM + PDCP framed MAC SDU) from
+# ltesniffer_dl_mode.pcap: measConfig + dedicatedInfoNASList + RRCD (DRB add)
+RECONF_MAC_SDU = bytes.fromhex(
+    "a0060620161080000006a402801289ccc2184c8081d0808f8180027c554001c007"
+    "5480704041c1c19cdc9cd85c1b81406b040000c9c220000341020202021402fd82"
+    "7c55400046b35751fb04c27c55400048c17d335751fb189f07d40be3a43c737cb8"
+    "33321834e000263c750f8000f81020410200650a3130")
+
+
+def test_real_air_reconfiguration_nas_tmsi():
+    """The reference's Reconfig TMSI hook (`DL_Sniffer_PDSCH.cc:804-879`):
+    skip measConfig field-exactly, read dedicatedInfoNASList, parse the
+    EEA0 'ciphered' Attach Accept, extract the GUTI M-TMSI."""
+    decoded = None
+    for cand in mac.rlc_pdcp_rrc_sdu(RECONF_MAC_SDU):
+        out = rrc.decode_dl_dcch(cand)
+        if out and out[0] == "reconfiguration" and out[1].nas_pdus:
+            decoded = out[1]
+            break
+    assert decoded is not None
+    assert decoded.has_meas_config and not decoded.has_mobility_control
+    info = nas.parse_nas(decoded.nas_pdus[0])
+    assert info.msg_name == "attach_accept"
+    assert info.identity.kind == nas.ID_TYPE_GUTI
+    assert info.identity.guti["m_tmsi"] == 3445442540
+    assert info.identity.guti["mme_code"] == 26
+
+
+def test_security_api_reconfig_tmsi_end_to_end():
+    """The api table picks the Reconfiguration TMSI up from the DL MAC SDU."""
+    from ltesniffer_tpu.sniffer import security_api
+    api = security_api.SecurityApi()
+    for cand in mac.rlc_pdcp_rrc_sdu(RECONF_MAC_SDU):
+        api.on_dl_dcch(0x4601, cand, 10, 2)
+        if 0x4601 in api.records and api.records[0x4601].tmsi:
+            break
+    rec = api.records[0x4601]
+    assert rec.tmsi == 3445442540
+    assert "rrc_reconfiguration" in rec.events
