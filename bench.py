@@ -108,7 +108,10 @@ def run_ul_e2e(cell):
     ul_packed = cplx.to_i8_packed(ul_stream[:tot * n].reshape(tot, 1, n))
 
     def one_pass():
-        cfg = core.SnifferConfig(cell=cell, batch_size=min(BATCH, 128))
+        # file-mode parity: cell preset, DECODE_MIB skipped
+        # (`LTESniffer_Core.cc:239`) — the dual trace carries no PBCH
+        cfg = core.SnifferConfig(cell=cell, batch_size=min(BATCH, 128),
+                                 acquire_sfn=False)
         c = core.LTESnifferCoreUL(cfg)
         t0 = time.perf_counter()
         c.run_dual_packed(dl_packed, ul_packed)

@@ -126,7 +126,10 @@ def main(argv=None) -> int:
                              dci_trace_path=args.dci_trace,
                              mcs_csv_path=args.csv,
                              draw_maps=args.draw,
-                             live_mode=args.live)
+                             live_mode=args.live,
+                             # file-mode parity: SFN preset unless stream
+                             # sync runs (`LTESniffer_Core.cc:239`)
+                             acquire_sfn=bool(use_stream))
     t0 = time.time()
     if args.ul_input:
         if not os.path.exists(args.ul_input):

@@ -49,8 +49,11 @@ class SnifferConfig:
     # is the legacy alias for "i16".
     ingest: str = "i8"
     ingest_int16: bool = True  # quantized-IQ H2D (halves transfer bytes)
-    turbo_iters: int = 4       # primary-pass turbo iterations
-    turbo_iters_max: int = 12  # escalation retry for CRC failures
+    # primary-pass turbo iterations: 2 matches srsRAN's effective average
+    # (its per-CB early stop exits after 1-2 iterations at working SNR);
+    # CRC failures re-decode from the stored LLRs at turbo_iters_max
+    turbo_iters: int = 2
+    turbo_iters_max: int = 12  # escalation retry cap (`SubframeWorker.cc:365`)
     dci_trace_path: Optional[str] = None   # tab-separated per-DCI trace
     mcs_csv_path: Optional[str] = None     # mcs_statistic.csv on close()
     heartbeat: bool = False                # per-1000-subframe progress line
@@ -67,6 +70,10 @@ class SnifferConfig:
     # (the reference drops when its 20-worker ring is exhausted)
     live_mode: bool = False
     live_buffer_sf: int = 20
+    # False = file-mode parity with the reference: cell/SFN preset from
+    # the command line, DECODE_MIB state skipped entirely
+    # (`LTESniffer_Core.cc:239`); True = acquire the SFN from PBCH
+    acquire_sfn: bool = True
 
 
 @dataclasses.dataclass
@@ -116,7 +123,7 @@ class LTESnifferCore:
         self.results: List[AcceptedPdsch] = []
         self.on_subframe = None   # hook(sf_ctx) for extensions
         self._searchers = {}
-        self._mib_synced = False
+        self._mib_synced = not cfg.acquire_sfn
         self._mib_sf0_seen = 0
         self._sf_dispatched = 0
         self._seg_base = 0        # dispatch index where the segment began
@@ -1288,6 +1295,11 @@ class LTESnifferCoreUL(LTESnifferCore):
                       sf_idx):
         from . import pusch_rx
         B = b - a
+        # DL frontend + blind search dispatch FIRST: the tunnel's D2H
+        # reads drain behind the whole queue, so the scalar read in
+        # phase 3 should not also wait for the UL demod
+        ctx = self._phase1_dev(dl_dev[0], dl_dev[1], a, sf_idx)
+        self._phase2(ctx)
         # UL grids stay ON DEVICE: unpacked + demodulated from the
         # device-resident packed stream; the batched grant decode gathers
         # from them there and only the fused per-grant results come back
@@ -1314,8 +1326,6 @@ class LTESnifferCoreUL(LTESnifferCore):
         old_hook = self.on_subframe
         self.on_subframe = hook
         try:
-            ctx = self._phase1_dev(dl_dev[0], dl_dev[1], a, sf_idx)
-            self._phase2(ctx)
             self._phase3(ctx)
             self._phase4(ctx)
         finally:
