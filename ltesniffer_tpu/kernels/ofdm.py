@@ -51,14 +51,28 @@ def _dft_mats(n_fft: int, n_sc: int):
                              scale=1.0 / np.sqrt(n_fft))
 
 
-def demodulate_ri(samples_ri, cell: CellConfig):
-    """Float-pair demod: (..., sf_len, 2) -> (..., 14, n_sc, 2)."""
+def demodulate_ri(samples_ri, cell: CellConfig, mats=None):
+    """Float-pair demod: (..., sf_len, 2) -> (..., 14, n_sc, 2).
+
+    mats: optional (w_re, w_im) DFT matrices passed as ARGUMENTS (e.g.
+    device-resident from `dft_mats_device`).  The ~20 MB matrices baked
+    as closure constants made every (batch-shape) variant of a frontend
+    program a ~7 MB artifact with minutes-long remote compiles; as args
+    they are uploaded once and shared by all variants."""
     n_fft, n_sc = cell.n_fft, cell.n_sc
     starts = np.asarray(symbol_starts(n_fft))
     idx = starts[:, None] + np.arange(n_fft)[None, :]          # (14, n_fft)
     sym = samples_ri[..., idx, :]                              # (...,14,n_fft,2)
-    w_re, w_im = _dft_mats(n_fft, n_sc)
-    return cplx.cmatmul(sym, w_re, w_im)                       # (...,14,n_sc,2)
+    if mats is None:
+        mats = _dft_mats(n_fft, n_sc)
+    return cplx.cmatmul(sym, mats[0], mats[1])                 # (...,14,n_sc,2)
+
+
+def dft_mats_device(cell: CellConfig):
+    """Device-resident (w_re, w_im) for `demodulate_ri`'s mats argument."""
+    import jax
+    w_re, w_im = _dft_mats(cell.n_fft, cell.n_sc)
+    return jax.device_put(w_re), jax.device_put(w_im)
 
 
 def demodulate(samples, cell: CellConfig):

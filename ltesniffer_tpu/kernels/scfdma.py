@@ -43,16 +43,27 @@ def _ul_dft_mats(n_fft: int, n_sc: int):
                              scale=1.0 / np.sqrt(n_fft))
 
 
-def demodulate_ul_ri(samples_ri, cell: CellConfig):
-    """(..., sf_len, 2) -> (..., 14, n_sc, 2), half-subcarrier shift removed."""
+def demodulate_ul_ri(samples_ri, cell: CellConfig, mats=None):
+    """(..., sf_len, 2) -> (..., 14, n_sc, 2), half-subcarrier shift removed.
+
+    mats: optional (w_re, w_im) DFT matrices as ARGUMENTS (see
+    `ofdm.demodulate_ri` — keeps per-shape program variants small)."""
     cr, si = _half_shift_ri(cell.n_fft, cell.sf_len)
     shift = jnp.stack([jnp.asarray(cr), jnp.asarray(si)], axis=-1)
     x = cplx.cmul(samples_ri, shift)
     starts = np.asarray(ofdm.symbol_starts(cell.n_fft))
     idx = starts[:, None] + np.arange(cell.n_fft)[None, :]
     sym = x[..., idx, :]
+    if mats is None:
+        mats = _ul_dft_mats(cell.n_fft, cell.n_sc)
+    return cplx.cmatmul(sym, mats[0], mats[1])
+
+
+def ul_dft_mats_device(cell: CellConfig):
+    """Device-resident (w_re, w_im) for `demodulate_ul_ri`."""
+    import jax
     w_re, w_im = _ul_dft_mats(cell.n_fft, cell.n_sc)
-    return cplx.cmatmul(sym, w_re, w_im)
+    return jax.device_put(w_re), jax.device_put(w_im)
 
 
 def modulate_ul_np(grid: np.ndarray, cell: CellConfig) -> np.ndarray:

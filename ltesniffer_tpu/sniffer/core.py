@@ -130,7 +130,7 @@ class LTESnifferCore:
         self._seg_sf0 = 0         # sf_idx at the segment start
         self._low_snr_run = 0     # consecutive low-SNR subframes
         self.sync_losses = 0
-        self.est_cfo = 0.0        # residual CFO (subcarriers), EMA-tracked
+        self.est_cfo = 0.0        # residual CFO (subcarriers), integrator-tracked
         self.tracker = None       # SubframeTracker when run_stream is used
         self.sib1_info = None     # decoded SIB1 (PLMN, SI scheduling)
         self.stop_requested = False   # SIGINT gate (`SignalManager.h:41-56`)
@@ -476,7 +476,7 @@ class LTESnifferCore:
 
     def _read_scalars(self, ctx: dict):
         """Host-side consumption of the fused frontend scalars (CFI / SNR /
-        CFO / RSRP): CFO feedback EMA, sync-loss detection, MIB-based SFN
+        CFO / RSRP): CFO feedback, sync-loss detection, MIB-based SFN
         acquisition.  Runs in _phase3 — the search no longer waits on it."""
         fe = ctx["fe"]
         B = ctx["B"]
@@ -488,11 +488,15 @@ class LTESnifferCore:
         cfos = scal[:, 2]
         ctx["cfi"] = cfi
         ctx["snr"] = snrs
-        # track residual CFO (EMA over high-SNR subframes)
+        # residual-CFO feedback: an INTEGRATOR on the measured residual
+        # (est is what remains AFTER the current correction, so the loop
+        # accumulates gain*est; equivalent to the reference's est_cfo
+        # channel, `SubframeWorker.cc:203`).  Gain 0.1 per batch: stable
+        # for drift rates up to ~0.1 subcarrier/batch
         good = snrs > 6.0
         if good.any():
             est = float(np.mean(cfos[good]))
-            self.est_cfo = 0.9 * self.est_cfo + 0.1 * (self.est_cfo + est)
+            self.est_cfo += 0.1 * est
         # sync-loss detection: >=5 consecutive low-SNR subframes re-enter
         # MIB acquisition once signal returns (`LTESniffer_Core.cc:506-525`)
         for s in snrs:

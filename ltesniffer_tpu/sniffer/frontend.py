@@ -33,10 +33,14 @@ def make_frontend(cell: CellConfig):
                     for sf in range(10)]).astype(np.float32)   # (10, 32)
     cw = grid_mod.cfi_codewords_matrix()                       # (3, 32) +-1
     use_sfbc = cell.nof_ports >= 2
+    # DFT matrices ride as device-resident ARGUMENTS: baked as constants
+    # they made every (batch-shape) frontend variant a ~7 MB program
+    dft = ofdm.dft_mats_device(cell)
 
     @jax.jit
-    def run_ri(samples_ri, sf_idx):
-        grids = ofdm.demodulate_ri(samples_ri, cell)   # (B,RX,14,n_sc,2)
+    def run_ri_mats(samples_ri, sf_idx, mats):
+        grids = ofdm.demodulate_ri(samples_ri, cell,
+                                   mats=mats)          # (B,RX,14,n_sc,2)
         B = grids.shape[0]
         ch = chest.estimate(grids, sf_idx, cell)
         h = ch["h"]
@@ -60,11 +64,14 @@ def make_frontend(cell: CellConfig):
                 "cfo": ch["cfo"], "cfi": cfi, "cfi_corr": corr,
                 "scalars": scalars}
 
+    # NOTE: the device-resident `dft` pair is passed as an explicit ARG of
+    # the inner jits (never closed over inside a trace — the axon backend
+    # rejects captured device arrays) via thin plain-Python wrappers.
+    def run_ri(samples_ri, sf_idx):
+        return run_ri_mats(samples_ri, sf_idx, dft)
+
     @jax.jit
-    def run_i16(samples_i16, sf_idx, scale, cfo):
-        """Quantized-IQ ingest: (B, RX, sf_len, 2) int16 + scale, with the
-        residual-CFO de-rotation applied on device (the reference's host-side
-        `srsran_cfo_correct`; here it rides the H2D-halving int16 path)."""
+    def _run_i16_mats(samples_i16, sf_idx, scale, cfo, mats):
         x = samples_i16.astype(jnp.float32) * scale
         n = x.shape[-2]
         theta = (-2.0 * np.pi / cell.n_fft) * cfo * jnp.arange(n,
@@ -72,15 +79,15 @@ def make_frontend(cell: CellConfig):
         c, s = jnp.cos(theta), jnp.sin(theta)
         xr, xi = x[..., 0], x[..., 1]
         x = jnp.stack([xr * c - xi * s, xr * s + xi * c], axis=-1)
-        return run_ri(x, sf_idx)
+        return run_ri_mats(x, sf_idx, mats)
 
-    @jax.jit
-    def run_i8(samples_p32, sf_idx, scales, cfo):
-        """Packed-int8 ingest: (B, RX, n/2) int32 words of 4 int8 IQ bytes
-        + per-subframe scales (B,).  4 shift/mask ops unpack on device; the
-        packed words quarter the tunnel's element-count-bound H2D cost vs
-        int16 pairs (see `cplx.to_i8_packed`)."""
-        p = samples_p32
+    def run_i16(samples_i16, sf_idx, scale, cfo):
+        """Quantized-IQ ingest: (B, RX, sf_len, 2) int16 + scale, with the
+        residual-CFO de-rotation applied on device (the reference's host-side
+        `srsran_cfo_correct`; here it rides the H2D-halving int16 path)."""
+        return _run_i16_mats(samples_i16, sf_idx, scale, cfo, dft)
+
+    def _unpack_i8(p, scales, cfo):
         B = p.shape[0]
         bytes_ = [((p >> (8 * k)) & 0xFF) for k in range(4)]
         b = jnp.stack(bytes_, axis=-1)                 # (B, RX, n/2, 4)
@@ -91,20 +98,34 @@ def make_frontend(cell: CellConfig):
             n, dtype=jnp.float32)
         c, s = jnp.cos(theta), jnp.sin(theta)
         xr, xi = x[..., 0], x[..., 1]
-        x = jnp.stack([xr * c - xi * s, xr * s + xi * c], axis=-1)
-        return run_ri(x, sf_idx)
+        return jnp.stack([xr * c - xi * s, xr * s + xi * c], axis=-1)
+
+    @jax.jit
+    def _run_i8_mats(samples_p32, sf_idx, scales, cfo, mats):
+        return run_ri_mats(_unpack_i8(samples_p32, scales, cfo), sf_idx,
+                           mats)
+
+    def run_i8(samples_p32, sf_idx, scales, cfo):
+        """Packed-int8 ingest: (B, RX, n/2) int32 words of 4 int8 IQ bytes
+        + per-subframe scales (B,).  4 shift/mask ops unpack on device; the
+        packed words quarter the tunnel's element-count-bound H2D cost vs
+        int16 pairs (see `cplx.to_i8_packed`)."""
+        return _run_i8_mats(samples_p32, sf_idx, scales, cfo, dft)
 
     @functools.partial(jax.jit, static_argnums=(2,))
+    def _run_i8_at_mats(stream_p32, scales, B, start, sf0, cfo, mats):
+        p = jax.lax.dynamic_slice_in_dim(stream_p32, start, B, axis=0)
+        sc = jax.lax.dynamic_slice_in_dim(scales, start, B, axis=0)
+        sf_idx = (sf0 + jnp.arange(B, dtype=jnp.int32)) % 10
+        return run_ri_mats(_unpack_i8(p, sc, cfo), sf_idx, mats)
+
     def run_i8_at(stream_p32, scales, B, start, sf0, cfo):
         """Device-resident stream ingest: slice batch [start, start+B) out
         of the packed-int8 stream ON DEVICE.  The whole stream is H2D-put
         once per run (async, overlapping compute); per-batch host->device
         argument transfers — which on the axon tunnel cost 10-100x a bulk
         device_put — disappear from the steady-state loop."""
-        p = jax.lax.dynamic_slice_in_dim(stream_p32, start, B, axis=0)
-        sc = jax.lax.dynamic_slice_in_dim(scales, start, B, axis=0)
-        sf_idx = (sf0 + jnp.arange(B, dtype=jnp.int32)) % 10
-        return run_i8(p, sf_idx, sc, cfo)
+        return _run_i8_at_mats(stream_p32, scales, B, start, sf0, cfo, dft)
 
     def run(samples, sf_idx):
         x = np.asarray(samples)

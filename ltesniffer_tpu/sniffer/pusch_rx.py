@@ -26,22 +26,34 @@ from .pdsch_rx import _decode_tb_from_llrs, PdschResult
 
 @functools.lru_cache(maxsize=16)
 def make_ul_frontend(cell: CellConfig):
-    """Batched UL demod: samples -> (B, RX, 14, n_sc, 2) float-pair grid."""
+    """Batched UL demod: samples -> (B, RX, 14, n_sc, 2) float-pair grid.
+
+    The DFT matrices ride as device-resident ARGUMENTS of the inner jits
+    (see `ofdm.demodulate_ri`) so per-batch-shape program variants stay
+    small and fast to compile."""
+    dft = scfdma.ul_dft_mats_device(cell)
+
     @jax.jit
+    def _run_ri_mats(samples_ri, mats):
+        return scfdma.demodulate_ul_ri(samples_ri, cell, mats=mats)
+
     def run_ri(samples_ri):
-        return scfdma.demodulate_ul_ri(samples_ri, cell)
+        return _run_ri_mats(samples_ri, dft)
 
     @functools.partial(jax.jit, static_argnums=(2,))
-    def run_i8_at(stream_p32, scales, B, start):
-        """Device-resident packed-int8 UL stream: slice batch [start,
-        start+B), unpack, demodulate (see `frontend.run_i8_at`)."""
+    def _run_i8_at_mats(stream_p32, scales, B, start, mats):
         p = jax.lax.dynamic_slice_in_dim(stream_p32, start, B, axis=0)
         sc = jax.lax.dynamic_slice_in_dim(scales, start, B, axis=0)
         bytes_ = [((p >> (8 * k)) & 0xFF) for k in range(4)]
         b = jnp.stack(bytes_, axis=-1)
         b = ((b ^ 0x80) - 0x80).astype(jnp.float32)
         x = b.reshape(B, p.shape[1], -1, 2) * sc[:, None, None, None]
-        return run_ri(x)
+        return scfdma.demodulate_ul_ri(x, cell, mats=mats)
+
+    def run_i8_at(stream_p32, scales, B, start):
+        """Device-resident packed-int8 UL stream: slice batch [start,
+        start+B), unpack, demodulate (see `frontend.run_i8_at`)."""
+        return _run_i8_at_mats(stream_p32, scales, B, start, dft)
 
     def run(samples):
         x = np.asarray(samples)
