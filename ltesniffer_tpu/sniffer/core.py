@@ -446,13 +446,13 @@ class LTESnifferCore:
         # lands in _phase3 together with the candidate matrix
         cfi_dev = fe["cfi"] - 1
         CH = self.SEARCH_CHUNK
-        chunks = []   # (cand_fused device array, rows-to-skip-at-head)
+        chunks = []   # (cand_fused dev, head-skip, cand_pay dev)
         with prof.span("p2_search"):
             if B <= CH:
                 out_c = run(fe["grids"], fe["h"], fe["noise_var"],
                             fe["snr_db"], jnp.asarray(sf_idx), cfi_dev)
                 self._async_d2h(out_c["cand_fused"])
-                chunks.append((out_c["cand_fused"], 0))
+                chunks.append((out_c["cand_fused"], 0, out_c["cand_pay"]))
             else:
                 a = 0
                 while a < B:
@@ -469,7 +469,8 @@ class LTESnifferCore:
                                 jnp.asarray(sf_idx[a:a + CH]),
                                 cfi_dev[a:a + CH])
                     self._async_d2h(out_c["cand_fused"])
-                    chunks.append((out_c["cand_fused"], skip))
+                    chunks.append((out_c["cand_fused"], skip,
+                                   out_c["cand_pay"]))
                     a += CH
         ctx["outs"] = {"_st": st, "_chunks": chunks}
         ctx["stage"] = 2
@@ -556,17 +557,16 @@ class LTESnifferCore:
         st = out["_st"]
         with prof.span("p3_meta"):
             fused = np.concatenate(
-                [np.asarray(dev)[skip:] for dev, skip in out["_chunks"]])
+                [np.asarray(dev)[skip:]
+                 for dev, skip, _pay in out["_chunks"]])
         n_loc = len(st["locs"])
         nof_cce = st["nof_cce"]
-        S = (fused.shape[1] - nof_cce) // (n_loc * 3)
+        S = (fused.shape[1] - nof_cce) // n_loc
         Bg = fused.shape[0]
         m = n_loc * S
         out["_host"] = {
             "cand_meta": fused[:, :m].reshape(Bg, n_loc, S),
-            "cand_pay": fused[:, m:3 * m].view(np.uint32)
-                             .reshape(Bg, n_loc, S, 2),
-            "cce_power": fused[:, 3 * m:].view(np.float32),
+            "cce_power": fused[:, m:].view(np.float32),
             "snr_db": ctx["snr"],
         }
         # ---- pass A: sequential resolve (RNTI-manager state in time order)
@@ -657,16 +657,49 @@ class LTESnifferCore:
         ctx["stage"] = 4
 
     def _materialize_payloads(self, outs: dict, refs):
-        """Replace PayloadRefs with real bit arrays.  Payload words came
-        back in the fused candidate transfer, so this is pure host work —
-        no extra device round trip."""
+        """Replace PayloadRefs with real bit arrays.  Payload words stay
+        DEVICE-RESIDENT (the tunnel's ~8 MB/s D2H made shipping all
+        candidates' payloads the largest per-batch cost); accepted
+        candidates fetch theirs in ONE gather dispatch + one tiny D2H."""
+        todo = [a for _c, a in refs
+                if isinstance(a.payload, dci_search.PayloadRef)]
+        if not todo:
+            return
         with prof.span("p3_payload_fetch"):
-            for _c, a in refs:
-                if not isinstance(a.payload, dci_search.PayloadRef):
-                    continue
-                words = outs["_host"]["cand_pay"][
-                    a.payload.b, a.payload.loc_idx, a.payload.size_idx]
-                a.payload = pdcch_rx.unpack_payload(words, a.payload.nbits)
+            chunks = outs["_chunks"]
+            CH = int(chunks[0][2].shape[0])
+            # map the global batch row to the virtual chunk concatenation
+            # (tail chunks overlap backward by `skip` rows)
+            bases = []
+            g = 0
+            for _dev, skip, _pay in chunks:
+                bases.append(g - skip)
+                g += int(_pay.shape[0]) - skip
+            M = len(todo)
+            Mp = pdsch_rx._pow2(M, 64)
+            b_v = np.zeros(Mp, np.int32)
+            loc = np.zeros(Mp, np.int32)
+            size = np.zeros(Mp, np.int32)
+            for i, a in enumerate(todo):
+                gi = a.payload.b
+                c = len(chunks) - 1
+                # find the chunk owning this global row
+                for ci in range(len(chunks)):
+                    lo = bases[ci] + chunks[ci][1]
+                    hi = bases[ci] + CH
+                    if lo <= gi < hi:
+                        c = ci
+                        break
+                b_v[i] = c * CH + (gi - bases[c])
+                loc[i] = a.payload.loc_idx
+                size[i] = a.payload.size_idx
+            fetch = pdcch_rx.make_payload_fetcher_multi(len(chunks))
+            words = np.asarray(fetch(
+                tuple(p for _d, _s, p in chunks), jnp.asarray(b_v),
+                jnp.asarray(loc), jnp.asarray(size)))
+            for i, a in enumerate(todo):
+                a.payload = pdcch_rx.unpack_payload(words[i],
+                                                    a.payload.nbits)
 
     # ------------------------------------------------------------------
     def _draw_rb_map(self, accepted, sfn: int, sf: int):

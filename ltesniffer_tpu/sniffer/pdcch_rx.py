@@ -109,10 +109,12 @@ def _candidate_decode_tail(out: dict, llr, cce_power, size_consts,
                             * w32, axis=-1, dtype=jnp.uint32))
     out["cand_meta"] = jnp.stack(metas, axis=-1)       # (B, n_loc, S)
     out["cand_pay"] = jnp.stack(pays, axis=-2)         # (B, n_loc, S, 2)
+    # the fused host transfer carries META + CCE POWER only: the tunnel's
+    # D2H measures ~8 MB/s, so the payload words (2/3 of the bytes) stay
+    # DEVICE-RESIDENT and are fetched post-resolve for accepted
+    # candidates only (`make_payload_fetcher_multi`)
     out["cand_fused"] = jnp.concatenate([
         out["cand_meta"].reshape(B, -1),
-        jax.lax.bitcast_convert_type(out["cand_pay"],
-                                     jnp.int32).reshape(B, -1),
         jax.lax.bitcast_convert_type(cce_power, jnp.int32),
     ], axis=1)
     return out
@@ -219,6 +221,19 @@ def make_payload_fetcher():
     @jax.jit
     def fetch(cand_pay, b, loc, size):
         return cand_pay[b, loc, size]
+    return fetch
+
+
+@functools.lru_cache(maxsize=16)
+def make_payload_fetcher_multi(n_chunks: int):
+    """One-dispatch accepted-payload fetch across the search's per-chunk
+    device outputs: (chunks tuple of (CH, n_loc, S, 2) u32, b_global (M,),
+    loc (M,), size (M,)) -> (M, 2) u32.  b_global indexes the virtual
+    concatenation of the chunks (CH rows each)."""
+    @jax.jit
+    def fetch(chunks, b, loc, size):
+        allp = jnp.concatenate(chunks, axis=0) if n_chunks > 1 else chunks[0]
+        return allp[b, loc, size]
     return fetch
 
 
