@@ -177,13 +177,36 @@ class LTESnifferCore:
     def run_stream(self, samples: np.ndarray,
                    max_subframes: Optional[int] = None,
                    chunk_subframes: int = 256):
-        """Continuous-stream entry with real timing acquisition: PSS/SSS
-        cell search, PSS-tracked framing with drift correction, and
-        sync-loss recovery (full re-acquire + SFN re-sync from the MIB),
-        the offline analog of the reference's sync loop + DECODE_MIB
-        fallback (`LTESniffer_Core.cc:361-528`)."""
-        win = samples[:min(len(samples), 12 * self.cell.sf_len)]
-        det = sync.find_cell(np.asarray(win), self.cell.n_fft)
+        """Continuous-stream entry with real timing acquisition (see
+        `run_source`; this wraps an in-memory array as the source)."""
+        from ltesniffer_tpu.io import sdr as sdr_mod
+        return self.run_source(
+            sdr_mod.ArraySource(np.asarray(samples), self.cell.srate),
+            max_subframes=max_subframes, chunk_subframes=chunk_subframes)
+
+    def run_source(self, source, max_subframes: Optional[int] = None,
+                   chunk_subframes: int = 256):
+        """Live-capable ingest from a `SampleSource` (SDR, file, array):
+        PSS/SSS cell search on the first blocks, PSS-tracked framing with
+        drift correction across block boundaries, sync-loss recovery
+        (full re-acquire + SFN re-sync from the MIB), and live-mode
+        overload shedding — the reference's sync loop + DECODE_MIB
+        fallback + radio receive path (`LTESniffer_Core.cc:361-528,
+        591-601`)."""
+        n = self.cell.sf_len
+        # --- acquire: buffer enough for the cell search ----------------
+        need = 12 * n
+        acc: List[np.ndarray] = []
+        got = 0
+        while got < need:
+            blk = source.read(need - got)
+            if blk is None:
+                break
+            acc.append(np.asarray(blk, dtype=np.complex64))
+            got += len(blk)
+        carry = (np.concatenate(acc) if acc
+                 else np.zeros(0, np.complex64))
+        det = sync.find_cell(carry[:12 * n], self.cell.n_fft)
         if det is None:
             raise RuntimeError("cell search failed: no PSS/SSS found")
         if det.n_id_cell != self.cell.n_id_cell:
@@ -204,39 +227,61 @@ class LTESnifferCore:
                 self.run_samples(np.concatenate(seg), sf_idx0=seg_sf0)
                 seg = []
 
-        for sf_idx, frame in self.tracker.frames(samples):
-            if self.stop_requested:
-                break
-            if self.tracker.sync_lost:
-                # timing re-acquired after losses: subframe continuity is
-                # broken, so flush and re-acquire the SFN from the MIB
-                flush()
-                seg_sf0 = sf_idx
-                self._mib_synced = False
-                self._mib_sf0_seen = 0
-                self.sync_losses += 1
-                self.tracker.sync_lost = False
-            done += 1
-            if self.cfg.live_mode:
-                # overload shedding: this subframe "arrived" at done ms on
-                # the radio clock; if processing lags more than the buffer
-                # ring can absorb, drop it and count (`LTESniffer_Core.cc:
-                # 443-451,557-562` getAvailImmediate + skip counter)
-                lag_sf = (time.monotonic() - t0) * 1e3 - done
-                if lag_sf > self.cfg.live_buffer_sf:
-                    self.sf_skipped += 1
-                    if self.heartbeat is not None:
-                        self.heartbeat.tick(0, skipped=1)
-                    if seg:                 # keep subframe continuity
-                        flush()
-                    seg_sf0 = (sf_idx + 1) % 10
-                    continue
-            seg.append(frame)
-            if len(seg) >= chunk_subframes:
-                flush()
-                seg_sf0 = self.tracker.sf_idx
-            if max_subframes is not None and done >= max_subframes:
-                break
+        eos = done_limit = False
+        while not eos and not done_limit and not self.stop_requested:
+            yielded = 0
+            for sf_idx, frame in self.tracker.frames(carry):
+                yielded += 1
+                if self.stop_requested:
+                    break
+                if self.tracker.sync_lost:
+                    # timing re-acquired after losses: subframe continuity
+                    # broke, so flush and re-acquire the SFN from the MIB
+                    flush()
+                    seg_sf0 = sf_idx
+                    self._mib_synced = False
+                    self._mib_sf0_seen = 0
+                    self.sync_losses += 1
+                    self.tracker.sync_lost = False
+                done += 1
+                if self.cfg.live_mode:
+                    # overload shedding: this subframe "arrived" at done ms
+                    # on the radio clock; if processing lags more than the
+                    # buffer ring absorbs, drop + count (`LTESniffer_Core.
+                    # cc:443-451,557-562` getAvailImmediate + skip counter)
+                    lag_sf = (time.monotonic() - t0) * 1e3 - done
+                    if lag_sf > self.cfg.live_buffer_sf:
+                        self.sf_skipped += 1
+                        if self.heartbeat is not None:
+                            self.heartbeat.tick(0, skipped=1)
+                        if seg:             # keep subframe continuity
+                            flush()
+                        seg_sf0 = (sf_idx + 1) % 10
+                        continue
+                seg.append(frame)
+                if len(seg) >= chunk_subframes:
+                    flush()
+                    seg_sf0 = self.tracker.sf_idx
+                if max_subframes is not None and done >= max_subframes:
+                    done_limit = True
+                    break
+            # carry the unconsumed tail into the next block (the tracker's
+            # end-of-array offset is relative to the array end)
+            tail_start = len(carry) + self.tracker.offset
+            tail = (carry[tail_start:] if 0 <= tail_start <= len(carry)
+                    else np.zeros(0, np.complex64))
+            if yielded == 0 and len(tail) > 4 * n:
+                # nothing decodable in a whole block: keep only a resync
+                # window so garbage input cannot grow the buffer unboundedly
+                tail = tail[-2 * n:]
+            nxt = source.read(chunk_subframes * n)
+            if nxt is None:
+                eos = True
+                carry = np.zeros(0, np.complex64)
+            else:
+                carry = np.concatenate([tail,
+                                        np.asarray(nxt, np.complex64)])
+                self.tracker.offset = 0   # next unconsumed = tail head
         flush()
         return self.results
 

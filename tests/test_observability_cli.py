@@ -179,3 +179,64 @@ def test_live_mode_overload_drops_and_counts():
     assert s["sf_skipped"] > 0
     assert s["subframes"] + s["sf_skipped"] <= 30
     assert c.heartbeat.skipped == s["sf_skipped"]
+
+
+def test_run_source_chunked_blocks_equals_run_stream(tmp_path):
+    """run_source over an SDR-style block source (odd block sizes forcing
+    tail carry across reads) decodes the same records as the one-shot
+    array path."""
+    from ltesniffer_tpu.io import sdr as sdr_mod
+
+    sb = scenario.ScenarioBuilder(CELL, seed=13)
+    pdu = mac.build_mac_pdu([mac.MacSubPdu(lcid=3, payload=b"src-test")])
+    rnti = 0x4242
+    for j in range(30):
+        sf = j % 10
+        txs = []
+        if j >= 2 and sf not in (0, 5):
+            txs.append(scenario.DlTx(rnti=rnti, mac_pdu=pdu, n_prb=10,
+                                     prb_start=12, harq_pid=j % 8,
+                                     ndi=(j // 8) % 2))
+        sb.add_subframe(sf, txs,
+                        with_pbch_sfn=j // 10 if sf == 0 else None)
+    stream = sb.stream()
+
+    def run(source_blocks):
+        cfg = core.SnifferConfig(cell=CELL, batch_size=8)
+        c = core.LTESnifferCore(cfg)
+        if source_blocks:
+            src = sdr_mod.ArraySource(stream, CELL.srate,
+                                      chunk_limit=CELL.sf_len * 3 + 777)
+            c.run_source(src, chunk_subframes=8)
+        else:
+            c.run_stream(stream, chunk_subframes=8)
+        return [(r.dci.rnti, r.dci.sfn, r.dci.sf_idx, r.crc_ok)
+                for r in c.results]
+
+    a = run(False)
+    b = run(True)
+    assert a == b
+    assert sum(1 for r in a if r[0] == rnti and r[3]) >= 5
+
+
+def test_file_source_reads_iq(tmp_path):
+    from ltesniffer_tpu.io import iq as iq_mod, sdr as sdr_mod
+    path = str(tmp_path / "s.iq")
+    data = (np.arange(1000) + 1j * np.arange(1000)).astype(np.complex64)
+    iq_mod.write_iq(path, data)
+    src = sdr_mod.FileSource(path, 1.0)
+    got = []
+    while True:
+        blk = src.read(333)
+        if blk is None:
+            break
+        got.append(blk)
+    src.close()
+    np.testing.assert_array_equal(np.concatenate(got), data)
+
+
+def test_soapy_source_gated():
+    from ltesniffer_tpu.io import sdr as sdr_mod
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="SoapySDR"):
+        sdr_mod.SoapySource("driver=uhd", 23.04e6, 2.14e9)
