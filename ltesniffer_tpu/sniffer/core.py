@@ -606,12 +606,11 @@ class LTESnifferCore:
                  for dev, skip, _pay in out["_chunks"]])
         n_loc = len(st["locs"])
         nof_cce = st["nof_cce"]
-        S = (fused.shape[1] - nof_cce) // n_loc
-        Bg = fused.shape[0]
-        m = n_loc * S
+        S = len(st["size_order"])
+        cand_meta, cce = pdcch_rx.unpack_fused(fused, n_loc, S, nof_cce)
         out["_host"] = {
-            "cand_meta": fused[:, :m].reshape(Bg, n_loc, S),
-            "cce_power": fused[:, m:].view(np.float32),
+            "cand_meta": cand_meta,
+            "cce_power": cce,
             "snr_db": ctx["snr"],
         }
         # ---- pass A: sequential resolve (RNTI-manager state in time order)

@@ -109,15 +109,64 @@ def _candidate_decode_tail(out: dict, llr, cce_power, size_consts,
                             * w32, axis=-1, dtype=jnp.uint32))
     out["cand_meta"] = jnp.stack(metas, axis=-1)       # (B, n_loc, S)
     out["cand_pay"] = jnp.stack(pays, axis=-2)         # (B, n_loc, S, 2)
-    # the fused host transfer carries META + CCE POWER only: the tunnel's
-    # D2H measures ~8 MB/s, so the payload words (2/3 of the bytes) stay
-    # DEVICE-RESIDENT and are fetched post-resolve for accepted
-    # candidates only (`make_payload_fetcher_multi`)
-    out["cand_fused"] = jnp.concatenate([
-        out["cand_meta"].reshape(B, -1),
-        jax.lax.bitcast_convert_type(cce_power, jnp.int32),
-    ], axis=1)
+    # the fused host transfer is PACKED tight — the tunnel's D2H measures
+    # ~8 MB/s, so bytes are the scarce resource: RNTIs two per word, the
+    # format-0/1A discriminator bits as a bitmap, CCE powers as f16
+    # pairs; payload words stay DEVICE-RESIDENT and are fetched
+    # post-resolve for accepted candidates only
+    # (`make_payload_fetcher_multi`).  `unpack_fused` reverses all of it.
+    m = n_loc * len(metas)
+    meta_flat = out["cand_meta"].reshape(B, -1)
+    rnti16 = (meta_flat & 0xFFFF)
+    mp = m + (m & 1)
+    r16 = jnp.pad(rnti16, ((0, 0), (0, mp - m)))
+    r_packed = r16[:, 0::2] | (r16[:, 1::2] << 16)     # (B, mp/2)
+    bit0 = (meta_flat >> 16) & 1
+    mb = -(-m // 32) * 32
+    b0 = jnp.pad(bit0, ((0, 0), (0, mb - m)))
+    w32 = jnp.asarray((1 << np.arange(32, dtype=np.int64))
+                      .astype(np.uint32))
+    b_packed = jnp.sum(b0.reshape(B, -1, 32).astype(jnp.uint32) * w32,
+                       axis=-1, dtype=jnp.uint32).astype(jnp.int32)
+    nc = cce_power.shape[1]
+    ncp = nc + (nc & 1)
+    c16 = jax.lax.bitcast_convert_type(
+        jnp.pad(cce_power, ((0, 0), (0, ncp - nc))).astype(jnp.float16),
+        jnp.uint16).astype(jnp.int32)
+    c_packed = c16[:, 0::2] | (c16[:, 1::2] << 16)
+    out["cand_fused"] = jnp.concatenate([r_packed, b_packed, c_packed],
+                                        axis=1)
     return out
+
+
+def unpack_fused(fused: np.ndarray, n_loc: int, S: int, nof_cce: int):
+    """Host-side inverse of the packed candidate transfer: returns
+    (cand_meta (B, n_loc, S) int32 [rnti | bit0<<16], cce_power (B,
+    nof_cce) float32)."""
+    m = n_loc * S
+    mp2 = (m + 1) // 2
+    mbw = -(-m // 32)
+    ncw = (nof_cce + 1) // 2
+    B = fused.shape[0]
+    r_packed = fused[:, :mp2].view(np.uint32)
+    rnti = np.empty((B, 2 * mp2), np.uint32)
+    rnti[:, 0::2] = r_packed & 0xFFFF
+    rnti[:, 1::2] = r_packed >> 16
+    b_packed = fused[:, mp2:mp2 + mbw].view(np.uint32)
+    bits = ((b_packed[:, :, None] >> np.arange(32, dtype=np.uint32)) & 1)
+    bit0 = bits.reshape(B, -1)[:, :m]
+    meta = (rnti[:, :m] | (bit0 << 16)).astype(np.int32)
+    c_packed = fused[:, mp2 + mbw:mp2 + mbw + ncw].view(np.uint32)
+    c16 = np.empty((B, 2 * ncw), np.uint16)
+    c16[:, 0::2] = c_packed & 0xFFFF
+    c16[:, 1::2] = c_packed >> 16
+    cce = c16.view(np.float16)[:, :nof_cce].astype(np.float32)
+    return meta.reshape(B, n_loc, S), cce
+
+
+def fused_width(n_loc: int, S: int, nof_cce: int) -> int:
+    m = n_loc * S
+    return (m + 1) // 2 + (-(-m // 32)) + (nof_cce + 1) // 2
 
 
 def _size_consts_of(st):
