@@ -97,6 +97,18 @@ def batched_crc(bits, poly_n, length: int | None = None):
     return (acc % 2.0).astype(jnp.uint8)
 
 
+def batched_crc_np(bits: np.ndarray, poly_n) -> np.ndarray:
+    """Host-side batched CRC: (N, L) 0/1 uint8 -> (N, n) remainder bits
+    via ONE f32 matmul against the cached remainder table (the per-TB
+    python loop over `crc_bits` was a hot-path cost at thousands of
+    transport blocks per batch)."""
+    poly, n = poly_n
+    L = bits.shape[1]
+    table = np.asarray(crc_remainder_table(poly_n, L), dtype=np.float32)
+    acc = bits[:, ::-1].astype(np.float32) @ table
+    return (acc.astype(np.int64) & 1).astype(np.uint8)
+
+
 def bits_to_int(bits: np.ndarray) -> int:
     v = 0
     for b in np.asarray(bits).reshape(-1):

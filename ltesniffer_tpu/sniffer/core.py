@@ -766,12 +766,31 @@ class LTESnifferCore:
             m = obs_mod.rb_map_of(grants, self.cell.n_prb)
             print(f"[{sfn:4d}.{sf}] {obs_mod.render_rb_map(m)}")
 
+    # (cell, fmt, payload bytes, rnti) -> (Dci, Grant) template.  A loaded
+    # cell re-issues the same allocations every frame; unpack + grant math
+    # in python was a per-candidate hot-path cost (~30 us x thousands per
+    # batch).  Values are treated as immutable templates: `_grant_of`
+    # returns a shallow copy because handlers mutate grant fields.
+    _DERIVE_CACHE: Dict[tuple, tuple] = {}
+
+    def _derive(self, a: dci_search.AcceptedDci):
+        key = (self.cell, a.fmt, a.payload.tobytes(), a.rnti)
+        hit = self._DERIVE_CACHE.get(key)
+        if hit is None:
+            d = dci_mod.unpack(a.payload, a.fmt, self.cell, rnti=a.rnti)
+            g = (dci_mod.ul_grant_from_dci(d, self.cell) if a.fmt == "0"
+                 else dci_mod.dl_grant_from_dci(d, self.cell))
+            if len(self._DERIVE_CACHE) > 65536:
+                self._DERIVE_CACHE.clear()
+            hit = self._DERIVE_CACHE[key] = (d, g)
+        return hit
+
     def _unpack_dci(self, a: dci_search.AcceptedDci):
         """Unpack a DCI once per accepted candidate and cache the result
         (collision counting + handlers share it)."""
         d = getattr(a, "_dci", None)
         if d is None:
-            d = dci_mod.unpack(a.payload, a.fmt, self.cell, rnti=a.rnti)
+            d = self._derive(a)[0]
             a._dci = d
         return d
 
@@ -779,9 +798,7 @@ class LTESnifferCore:
         """Cached DCI->grant derivation (UL grant for fmt 0, else DL)."""
         g = getattr(a, "_grant", None)
         if g is None:
-            d = self._unpack_dci(a)
-            g = (dci_mod.ul_grant_from_dci(d, self.cell) if a.fmt == "0"
-                 else dci_mod.dl_grant_from_dci(d, self.cell))
+            g = dataclasses.replace(self._derive(a)[1])
             a._grant = g
         return g
 

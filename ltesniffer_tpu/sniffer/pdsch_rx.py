@@ -843,10 +843,32 @@ def finish_grants_batch(pb: PendingPdschBatch,
         for r_i, (ji, ci_, F) in enumerate(rows):
             bits_of[(ji, ci_)] = bits[r_i]
             rem_of[(ji, ci_)] = int(sub[r_i, 0])
+    # single-code-block TBs (the common case) take a BATCHED host CRC24A:
+    # one f32 matmul per (K, F, tbs) family instead of a per-TB python loop
+    singles: Dict[tuple, list] = {}
     for ji, j in enumerate(jobs):
         if results[ji] is not None or ji not in pb.seg_of:
             continue
-        results[ji] = _assemble_tb(pb, ji, bits_of, rem_of, soft_buffers)
+        seg = pb.seg_of[ji]
+        if seg.C == 1:
+            singles.setdefault((seg.K[0], seg.F, seg.B, j.tbs),
+                               []).append(ji)
+        else:
+            results[ji] = _assemble_tb(pb, ji, bits_of, rem_of,
+                                       soft_buffers)
+    for (K, F, Bb, tbs), jis in singles.items():
+        blks = np.stack([bits_of[(ji, 0)] for ji in jis])
+        tbw = blks[:, F:F + Bb]
+        ok = crc.batched_crc_np(tbw, crc.CRC24A).sum(axis=1) == 0
+        for r_i, ji in enumerate(jis):
+            j = jobs[ji]
+            tb_ok = bool(ok[r_i])
+            if tb_ok and soft_buffers is not None and j.harq_key is not None:
+                soft_buffers.pop((j.harq_key, 0), None)
+            results[ji] = PdschResult(
+                j.rnti, j.tbs, tb_ok,
+                tbw[r_i, :tbs] if tb_ok else None, [True], [],
+                pb.n_re_of.get(ji, 0))
     prof.add("pf_assemble", prof.time.perf_counter() - _t3)
     return results
 
