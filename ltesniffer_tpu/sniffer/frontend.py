@@ -32,7 +32,7 @@ def make_frontend(cell: CellConfig):
     scr = np.stack([1.0 - 2.0 * grid_mod.pcfich_scrambling(cell, sf)
                     for sf in range(10)]).astype(np.float32)   # (10, 32)
     cw = grid_mod.cfi_codewords_matrix()                       # (3, 32) +-1
-    use_sfbc = cell.nof_ports >= 2
+    n_ports = cell.nof_ports
     # DFT matrices ride as device-resident ARGUMENTS: baked as constants
     # they made every (batch-shape) frontend variant a ~7 MB program
     dft = ofdm.dft_mats_device(cell)
@@ -48,10 +48,7 @@ def make_frontend(cell: CellConfig):
         hflat = h.reshape(B, h.shape[1], h.shape[2], -1, 2)
         y = gflat[:, :, re_idx, :]
         hh = hflat[:, :, :, re_idx, :]
-        if use_sfbc:
-            x = chest.equalize_sfbc(y, hh, ch["noise_var"])
-        else:
-            x = chest.equalize_port0(y, hh[:, :, 0], ch["noise_var"])
+        x = chest.equalize_ports(y, hh, ch["noise_var"], n_ports)
         llr = demapper.qpsk_llr(x) * jnp.asarray(scr)[sf_idx]  # (B, 32)
         corr = jnp.einsum("bj,cj->bc", llr, cw)                # (B, 3)
         cfi = 1 + jnp.argmax(corr, axis=-1).astype(jnp.int32)

@@ -117,15 +117,18 @@ def _make_decoder(cell: CellConfig):
         x1 = chest.equalize_port0(y, hh[:, :, 0], nv)[0]             # (240,2)
         x2 = chest.equalize_sfbc(y, hh[:, :, :2], nv)[0] if h.shape[1] >= 2 \
             else x1
+        hyps = [x1, x2]
+        if h.shape[1] >= 4:       # 4-port SFBC-FSTD hypothesis
+            hyps.append(chest.equalize_sfbc4(y, hh[:, :, :4], nv)[0])
         rows = []
-        for x in (x1, x2):
+        for x in hyps:
             llr = demapper.qpsk_llr(x)                               # (480,)
             for f in range(4):
                 full = jnp.zeros(E_TOTAL, jnp.float32)
                 full = full.at[f * E_FRAME:(f + 1) * E_FRAME].set(llr)
                 full = full * scr
                 rows.append(jnp.einsum("e,ek->k", full, W))
-        d = jnp.stack(rows).reshape(8, 3, D_MIB)
+        d = jnp.stack(rows).reshape(4 * len(hyps), 3, D_MIB)
         bits = viterbi.viterbi_decode_tb(d)
         return bits
 
@@ -170,15 +173,20 @@ def dispatch_mib_at(grids_B, h_B, noise_var_B, i: int, cell: CellConfig):
 
 def resolve_mib_bits(bits: np.ndarray) -> MibResult:
     """Host half of the MIB decode: CRC-mask hypothesis resolution over the
-    (8, 40) decoded rows (port x frame-phase)."""
-    for hi in range(8):
-        port_hyp = 1 if hi < 4 else 2
+    (4*n_hyp, 40) decoded rows (equalizer hypothesis x frame-phase)."""
+    n_hyp = bits.shape[0] // 4
+    for hi in range(bits.shape[0]):
+        port_hyp = (1, 2, 4)[hi // 4]
         f = hi % 4
         row = bits[hi]
         rem = crc.crc_bits(row[:24], crc.CRC16) ^ row[24:]
         mask_val = crc.bits_to_int(rem)
-        # the CRC mask must agree with the equalizer hypothesis
-        allowed = {1: (1,), 2: (2, 4)}[port_hyp]
+        # the CRC mask must agree with the equalizer hypothesis; with no
+        # dedicated 4-port hypothesis row, the 2-port combiner still
+        # detects a 4-port cell via the 0x5555 mask (ports 0/1 carry
+        # every pair-A symbol)
+        allowed = {1: (1,), 2: ((2, 4) if n_hyp < 3 else (2,)),
+                   4: (4,)}[port_hyp]
         for ports in allowed:
             m = _ANT_MASK[ports]
             if mask_val == m:

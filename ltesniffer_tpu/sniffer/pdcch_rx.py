@@ -222,7 +222,7 @@ def _build_unified(cell: CellConfig):
         1.0 - 2.0 * grid_mod.pdcch_scrambling(cell, sf, n_bits_tot)
         for sf in range(10)]).astype(np.float32)              # (10, n_bits)
     size_consts = _size_consts_of(st3)
-    use_sfbc = cell.nof_ports >= 2
+    n_ports = cell.nof_ports
 
     @jax.jit
     def run_from_grids(grids, h, noise_var, snr_db, sf_idx, cfi_idx):
@@ -236,10 +236,7 @@ def _build_unified(cell: CellConfig):
         hs = jnp.stack([hflat[:, :, :, gidx[c], :] for c in range(3)])
         y = ys[cfi_idx, jnp.arange(B)]                        # (B, RX, M, 2)
         hh = hs[cfi_idx, jnp.arange(B)]                       # (B, RX, P, M, 2)
-        if use_sfbc:
-            x = chest.equalize_sfbc(y, hh, noise_var)         # (B, M)
-        else:
-            x = chest.equalize_port0(y, hh[:, :, 0], noise_var)
+        x = chest.equalize_ports(y, hh, noise_var, n_ports)   # (B, M)
         signs = (jnp.asarray(scr_j)[sf_idx]
                  * jnp.asarray(sign_mask)[cfi_idx])           # (B, n_bits)
         llr = demapper.qpsk_llr(x) * signs
@@ -320,7 +317,7 @@ def _build_pipeline(cell: CellConfig, cfi: int):
     # group candidates by aggregation level for uniform-shape gathers
     size_consts = _size_consts_of(st)
 
-    use_sfbc = cell.nof_ports >= 2
+    n_ports = cell.nof_ports
 
     @jax.jit
     def run_from_grids(grids, h, noise_var, snr_db, sf_idx):
@@ -329,10 +326,7 @@ def _build_pipeline(cell: CellConfig, cfi: int):
         hflat = h.reshape(B, h.shape[1], h.shape[2], -1, 2)
         y = gflat[:, :, gather_idx, :]                           # (B,RX,M,2)
         hh = hflat[:, :, :, gather_idx, :]                       # (B,RX,P,M,2)
-        if use_sfbc:
-            x = chest.equalize_sfbc(y, hh, noise_var)            # (B,M)
-        else:
-            x = chest.equalize_port0(y, hh[:, :, 0], noise_var)
+        x = chest.equalize_ports(y, hh, noise_var, n_ports)      # (B,M)
         llr = demapper.qpsk_llr(x) * jnp.asarray(scr_j)[sf_idx]  # (B, 8*m_quad)
         cce_power = jnp.mean(
             jnp.abs(llr[:, :72 * nof_cce]).reshape(B, nof_cce, 72),

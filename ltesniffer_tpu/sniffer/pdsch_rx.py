@@ -55,7 +55,7 @@ def _buffer_value(v):
 
 
 @functools.lru_cache(maxsize=64)
-def _eq_demap_fn(cell: CellConfig, qm: int, n_re_pad: int, use_sfbc: bool):
+def _eq_demap_fn(cell: CellConfig, qm: int, n_re_pad: int, n_ports: int):
     """Jitted: one grant's REs -> descrambled LLRs.
 
     (grid_flat (RX, L), h_flat (RX, P, L), noise (), re_idx (n_re_pad,) i32,
@@ -69,10 +69,7 @@ def _eq_demap_fn(cell: CellConfig, qm: int, n_re_pad: int, use_sfbc: bool):
         y = grid_flat[:, re_idx, :][None]        # (1, RX, n, 2)
         hh = h_flat[:, :, re_idx, :][None] * pa  # (1, RX, P, n, 2)
         nv = noise_var[None]
-        if use_sfbc:
-            x = chest.equalize_sfbc(y, hh, nv)[0]
-        else:
-            x = chest.equalize_port0(y, hh[:, :, 0], nv)[0]
+        x = chest.equalize_ports(y, hh, nv, n_ports)[0]
         llr = demapper.llr(x, qm)               # (n*qm,)
         scr = sequences.gold_sequence_jax(c_init, n_re_pad * qm)
         signs = 1.0 - 2.0 * scr.astype(jnp.float32)
@@ -115,7 +112,7 @@ def decode_grant(grids, h, noise_var, b: int, cell: CellConfig, sf_idx: int,
     idx[:n_re] = re_idx
     c_init = pdsch_mod.scrambling_cinit(rnti, 0, sf_idx, cell.n_id_cell)
 
-    fn = _eq_demap_fn(cell, qm, n_pad, cell.nof_ports >= 2)
+    fn = _eq_demap_fn(cell, qm, n_pad, cell.nof_ports)
     gflat = grids[b].reshape(grids.shape[1], -1, 2)
     hflat = h[b].reshape(h.shape[1], h.shape[2], -1, 2)
     llr = np.asarray(fn(gflat, hflat, noise_var[b], jnp.asarray(idx),
@@ -295,7 +292,7 @@ def _re_tab_device(cell: CellConfig, n_pad: int, combos: tuple):
 
 @functools.lru_cache(maxsize=64)
 def _eq_demap_batch_fn(cell: CellConfig, qm: int, n_re_pad: int,
-                       use_sfbc: bool, n_u: int = 0):
+                       n_ports: int, n_u: int = 0):
     """Jitted: many grants' REs -> descrambled LLRs in one call.
 
     (grids (B,RX,L,2), h (B,RX,P,L,2), noise (B,), bidx (G,), u_idx (G,),
@@ -311,10 +308,7 @@ def _eq_demap_batch_fn(cell: CellConfig, qm: int, n_re_pad: int,
         hh = jnp.moveaxis(hh, 1, 3)                      # (G, RX, P, n, 2)
         hh = hh * pa[:, None, None, None, None]          # p_a scaling
         nv = noise_var[bidx]
-        if use_sfbc:
-            x = chest.equalize_sfbc(y, hh, nv)           # (G, n, 2)
-        else:
-            x = chest.equalize_port0(y, hh[:, :, 0], nv)
+        x = chest.equalize_ports(y, hh, nv, n_ports)     # (G, n, 2)
         llr = demapper.llr(x, qm)                        # (G, n*qm)
         scr = sequences.gold_sequence_jax(c_init, n_re_pad * qm)
         return llr * (1.0 - 2.0 * scr.astype(jnp.float32))
@@ -361,7 +355,7 @@ def _reorg_fn(cell: CellConfig):
 
 @functools.lru_cache(maxsize=256)
 def _eq_demap_prb_fn(cell: CellConfig, qm: int, n_prb: int, cfi: int,
-                     use_sfbc: bool):
+                     n_ports: int):
     """Jitted fast-path eq/demap for one (qm, n_prb, cfi) group: PRB-block
     gather + STATIC data-RE compress + equalize + demap + descramble.
 
@@ -403,10 +397,7 @@ def _eq_demap_prb_fn(cell: CellConfig, qm: int, n_prb: int, cfi: int,
                       jnp.asarray(SEL), axis=3)   # (G, RX, P, n_pad, 2)
         hh = hh * pa[:, None, None, None, None]
         nv = noise_var[bidx]
-        if use_sfbc:
-            x = chest.equalize_sfbc(y, hh, nv)
-        else:
-            x = chest.equalize_port0(y, hh[:, :, 0], nv)
+        x = chest.equalize_ports(y, hh, nv, n_ports)
         llr = demapper.llr(x, qm)
         scr = sequences.gold_sequence_jax(c_init, n_pad * qm)
         return llr * (1.0 - 2.0 * scr.astype(jnp.float32))
@@ -620,7 +611,7 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
         Xg, Xh = _reorg_fn(cell)(grids, h)
     for (qm, n_prb, cfi), jis in fast_groups.items():
         fn, n_pad = _eq_demap_prb_fn(cell, qm, n_prb, cfi,
-                                     cell.nof_ports >= 2)
+                                     cell.nof_ports)
         G = len(jis)
         G_pad = _pow2(G, 64)
         bidx = np.zeros(G_pad, np.int32)
@@ -668,7 +659,7 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
             pa[row] = j.pa
             row_of[ji] = row_acc + row
         re_tab = _re_tab_device(cell, n_pad, tuple(combo_rows))
-        fn = _eq_demap_batch_fn(cell, qm, n_pad, cell.nof_ports >= 2,
+        fn = _eq_demap_batch_fn(cell, qm, n_pad, cell.nof_ports,
                                 int(re_tab.shape[0]))
         with prof.span("pd_eqdemap_call"):
             out = fn(gflat, hflat, noise_var, jnp.asarray(bidx),

@@ -38,6 +38,28 @@ def _sfbc_precode(x: np.ndarray):
     return np.stack([p0, p1]) / np.sqrt(2.0)
 
 
+def _sfbc4_precode(x: np.ndarray):
+    """36.211 6.3.4.3.2 4-port SFBC-FSTD: groups of 4 symbols; pair
+    (x0, x1) Alamouti on ports (0, 2) over REs (4i, 4i+1); (x2, x3) on
+    ports (1, 3) over REs (4i+2, 4i+3)."""
+    assert len(x) % 4 == 0
+    out = np.zeros((4, len(x)), dtype=x.dtype)
+    x0, x1, x2, x3 = x[0::4], x[1::4], x[2::4], x[3::4]
+    out[0, 0::4], out[0, 1::4] = x0, x1
+    out[2, 0::4], out[2, 1::4] = -np.conj(x1), np.conj(x0)
+    out[1, 2::4], out[1, 3::4] = x2, x3
+    out[3, 2::4], out[3, 3::4] = -np.conj(x3), np.conj(x2)
+    return out / np.sqrt(2.0)
+
+
+def _txdiv_precode(x: np.ndarray, ports: int):
+    if ports >= 4:
+        return _sfbc4_precode(x)
+    if ports >= 2:
+        return _sfbc_precode(x)
+    return x[None, :]
+
+
 def build_control_subframe(cell: CellConfig, sf_idx: int, cfi: int,
                            tx_dcis: Sequence[TxDci]) -> np.ndarray:
     """Build per-port TX resource grids (ports, 14, n_sc) for one subframe."""
@@ -63,13 +85,10 @@ def build_control_subframe(cell: CellConfig, sf_idx: int, cfi: int,
     reg = grid_mod.control_region(cell, cfi)
     cw = grid_mod.cfi_codeword(cfi) ^ grid_mod.pcfich_scrambling(cell, sf_idx)
     syms = modulation.modulate(cw, 2)          # 16 QPSK symbols
-    if ports >= 2:
-        per_port = _sfbc_precode(syms)
-    else:
-        per_port = syms[None, :]
+    per_port = _txdiv_precode(syms, ports)
     for qi, r in enumerate(reg["pcfich_regs"]):
         for j, k in enumerate(r.res):
-            for p in range(min(ports, 2)):
+            for p in range(per_port.shape[0]):
                 g[p, r.l, k] = per_port[p, 4 * qi + j]
 
     # --- PDCCH -------------------------------------------------------------
@@ -88,16 +107,13 @@ def build_control_subframe(cell: CellConfig, sf_idx: int, cfi: int,
     bits = bits ^ scr
     syms = modulation.modulate(bits, 2)
     syms = np.where(active[0::2] | active[1::2], syms, 0.0)  # NIL CCEs: no power
-    if ports >= 2:
-        per_port = _sfbc_precode(syms)
-        # zero power stays zero under SFBC pairing (pairs are CCE-aligned)
-    else:
-        per_port = syms[None, :]
+    per_port = _txdiv_precode(syms, ports)
+    # zero power stays zero under SFBC pairing (groups are CCE-aligned)
     tx_map, _ = grid_mod.pdcch_interleave_maps(cell, cfi)
     for j, r in enumerate(reg["pdcch_regs"]):
         q = tx_map[j]          # quadruplet index in CCE order
         for jj, k in enumerate(r.res):
-            for p in range(min(ports, 2)):
+            for p in range(per_port.shape[0]):
                 g[p, r.l, k] = per_port[p, 4 * q + jj]
     return g
 
@@ -170,12 +186,9 @@ def add_pdsch(g: np.ndarray, cell: CellConfig, sf_idx: int, cfi: int,
     scr = seq_mod.gold_sequence(c_init, G)
     bits = coded ^ scr
     syms = modulation.modulate(bits, qm) * np.complex64(amplitude)
-    if cell.nof_ports >= 2:
-        per_port = _sfbc_precode(syms)
-    else:
-        per_port = syms[None, :]
+    per_port = _txdiv_precode(syms, cell.nof_ports)
     flat = g.reshape(g.shape[0], -1)
-    for p in range(min(cell.nof_ports, 2)):
+    for p in range(per_port.shape[0]):
         flat[p, re_idx] = per_port[p]
     return G
 
@@ -189,13 +202,10 @@ def add_pbch(g: np.ndarray, cell: CellConfig, sfn: int):
     f = sfn % 4
     seg = full[480 * f: 480 * (f + 1)]
     syms = modulation.modulate(seg, 2)           # 240 QPSK symbols
-    if cell.nof_ports >= 2:
-        per_port = _sfbc_precode(syms)
-    else:
-        per_port = syms[None, :]
+    per_port = _txdiv_precode(syms, cell.nof_ports)
     re_idx = pbch_rx.pbch_re_indices(cell)
     flat = g.reshape(g.shape[0], -1)
-    for p in range(min(cell.nof_ports, 2)):
+    for p in range(per_port.shape[0]):
         flat[p, re_idx] = per_port[p]
 
 
