@@ -168,16 +168,68 @@ def run_pdcch_only(cell):
     return B * n_iters / dt
 
 
+def _parallel_warmup(cell):
+    """Kick the heavyweight program compiles off on worker threads (the
+    remote compile service parallelizes across in-flight requests) so they
+    overlap scenario synthesis and each other instead of serializing
+    through the cold pass."""
+    import threading
+    import jax
+    import jax.numpy as jnp
+    from ltesniffer_tpu.sniffer import core as core_mod
+    from ltesniffer_tpu.sniffer import frontend as fe_mod, pdcch_rx, pusch_rx
+
+    def wm_frontend():
+        front = fe_mod.make_frontend(cell)
+        T, B = N_SF, BATCH
+        st = jax.device_put(np.zeros((T, 1, cell.sf_len // 2), np.int32))
+        sc = jax.device_put(np.ones(T, np.float32))
+        fe = front.jitted_i8_at(st, sc, B, np.int32(0), np.int32(0),
+                                np.float32(0.0))
+        fe["scalars"].block_until_ready()
+
+    def wm_search():
+        front = fe_mod.make_frontend(cell)
+        CH = core_mod.LTESnifferCore.SEARCH_CHUNK
+        st = jax.device_put(np.zeros((CH, 1, cell.sf_len // 2), np.int32))
+        sc = jax.device_put(np.ones(CH, np.float32))
+        sf = jax.device_put(np.zeros(CH, np.int32))
+        fe = front.jitted_i8(st, sf, sc, np.float32(0.0))
+        run, _ = pdcch_rx.make_unified_search(cell)
+        out = run(fe["grids"], fe["h"], fe["noise_var"], fe["snr_db"], sf,
+                  fe["cfi"] - 1)
+        out["cand_fused"].block_until_ready()
+
+    def wm_ul():
+        fe = pusch_rx.make_ul_frontend(cell)
+        T, B = UL_SF, min(BATCH, 128)
+        st = jax.device_put(np.zeros((T, 1, cell.sf_len // 2), np.int32))
+        sc = jax.device_put(np.ones(T, np.float32))
+        fe.jitted_i8_at(st, sc, B, np.int32(0)).block_until_ready()
+
+    threads = [threading.Thread(target=t, daemon=True)
+               for t in (wm_frontend, wm_search, wm_ul)]
+    for t in threads:
+        t.start()
+    return threads
+
+
 def main():
     from ltesniffer_tpu.phy.params import CellConfig
     cell = CellConfig(n_id_cell=301, n_prb=100, nof_ports=2, nof_rx_ant=1)
 
+    t_w = time.perf_counter()
+    warm_threads = _parallel_warmup(cell)
     stream, placed = build_stream(cell)
     print(f"[bench] scenario: {N_SF} sf, {placed} grants, "
           f"{stream.nbytes / 1e6:.0f} MB", file=sys.stderr)
     from ltesniffer_tpu.kernels import cplx
     packed = cplx.to_i8_packed(
         stream[:N_SF * cell.sf_len].reshape(N_SF, 1, cell.sf_len))
+    for t in warm_threads:
+        t.join(timeout=600)
+    print(f"[bench] parallel warmup + scenario: "
+          f"{time.perf_counter() - t_w:.1f}s", file=sys.stderr)
 
     # pass 1: compile + warm everything (HARQ/MCS state builds here too)
     dt_cold, s1 = run_e2e(cell, stream, packed)

@@ -46,7 +46,11 @@ class SnifferConfig:
     use_native: bool = True   # C++ resolver/RNTI manager when available
     # IQ ingest quantization: "i8" (packed int8, per-subframe AGC, 4x fewer
     # H2D elements), "i16" (global scale), or "f32" (none).  ingest_int16
-    # is the legacy alias for "i16".
+    # is the legacy alias for "i16".  Tradeoff: i8's per-subframe AGC puts
+    # the quantization floor ~42 dB below each subframe's PEAK — in an
+    # extreme near-far/blocker subframe a weak co-scheduled grant loses
+    # margin vs the globally-scaled i16 path; switch to "i16" for such
+    # captures (real 8-bit SDR front-ends have the same floor).
     ingest: str = "i8"
     ingest_int16: bool = True  # quantized-IQ H2D (halves transfer bytes)
     # primary-pass turbo iterations: 2 matches srsRAN's effective average
@@ -1372,12 +1376,21 @@ class LTESnifferCoreUL(LTESnifferCore):
         ul_dev = (jax.device_put(ul_packed[0]), jax.device_put(ul_packed[1]))
         self._seg_base = self._sf_dispatched
         self._seg_sf0 = sf_idx0
+        # one-batch lookahead: batch k+1's DL frontend + search + UL demod
+        # dispatch before batch k's host resolve/decode finishes, so its
+        # device compute overlaps the host work and the readbacks
+        prev = None
         for a in range(0, total, self.cfg.batch_size):
             if self.stop_requested:
                 break
             b = min(a + self.cfg.batch_size, total)
-            self._process_dual(dl_dev, ul_dev, ul_packed, a, b,
-                               sf_idx[a:b].astype(np.int32))
+            cur = self._dispatch_dual(dl_dev, ul_dev, a, b,
+                                      sf_idx[a:b].astype(np.int32))
+            if prev is not None:
+                self._finish_dual(prev, ul_packed)
+            prev = cur
+        if prev is not None:
+            self._finish_dual(prev, ul_packed)
         self._finish_ul_pending()
         return self.ul_results
 
@@ -1389,20 +1402,22 @@ class LTESnifferCoreUL(LTESnifferCore):
             jobs, pb = prev
             self._finish_ul(jobs, pusch_rx.finish_grants_ul_batch(pb))
 
-    def _process_dual(self, dl_dev, ul_dev, ul_packed, a: int, b: int,
-                      sf_idx):
-        from . import pusch_rx
-        B = b - a
-        # DL frontend + blind search dispatch FIRST: the tunnel's D2H
-        # reads drain behind the whole queue, so the scalar read in
-        # phase 3 should not also wait for the UL demod
+    def _dispatch_dual(self, dl_dev, ul_dev, a: int, b: int, sf_idx):
+        """Device half of one dual batch: DL frontend + blind search
+        dispatch first (the scalar read must not drain behind the UL
+        demod), then the UL SC-FDMA demod — all in flight, nothing read."""
         ctx = self._phase1_dev(dl_dev[0], dl_dev[1], a, sf_idx)
         self._phase2(ctx)
         # UL grids stay ON DEVICE: unpacked + demodulated from the
         # device-resident packed stream; the batched grant decode gathers
         # from them there and only the fused per-grant results come back
-        ul_grids = self.ul_frontend.jitted_i8_at(ul_dev[0], ul_dev[1], B,
-                                                 np.int32(a))
+        ul_grids = self.ul_frontend.jitted_i8_at(ul_dev[0], ul_dev[1],
+                                                 b - a, np.int32(a))
+        return (ctx, ul_grids, a, sf_idx)
+
+    def _finish_dual(self, cur, ul_packed):
+        from . import pusch_rx
+        ctx, ul_grids, a, sf_idx = cur
         if self.cfg.draw_maps:
             from . import observability as obs_mod
             pw = np.asarray(pusch_rx.make_power_map(self.cell)(ul_grids))
