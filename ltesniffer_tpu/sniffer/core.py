@@ -414,10 +414,6 @@ class LTESnifferCore:
             fe = self.frontend.jitted_i8_at(
                 dev_stream, dev_scale, B, np.int32(a),
                 np.int32(int(sf_idx[0])), np.float32(self.est_cfo))
-            try:
-                fe["scalars"].copy_to_host_async()
-            except Exception:
-                pass
         base = self._sf_dispatched
         self._sf_dispatched += B
         fbase = self._seg_sf0 + (base - self._seg_base)
@@ -445,10 +441,6 @@ class LTESnifferCore:
                 fe = self.frontend(
                     np.ascontiguousarray(frames, dtype=np.complex64),
                     np.asarray(sf_idx))
-            try:
-                fe["scalars"].copy_to_host_async()
-            except Exception:
-                pass
         base = self._sf_dispatched
         self._sf_dispatched += frames.shape[0]
         # frame-aligned index: (fbase + i) // 10 counts frame boundaries
@@ -589,10 +581,11 @@ class LTESnifferCore:
 
     @staticmethod
     def _async_d2h(dev):
-        try:
-            dev.copy_to_host_async()
-        except Exception:
-            pass
+        # NOTE: deliberately NOT copy_to_host_async — on the axon tunnel an
+        # async copy enqueued before its producer completes can wedge the
+        # transfer for tens of seconds (measured); a plain read later costs
+        # only ~25 ms RTT once the buffer is computed
+        return dev
 
     def _phase3(self, ctx: dict):
         """Read candidate meta; resolve in time order; fetch accepted

@@ -164,10 +164,6 @@ def dispatch_mib_at(grids_B, h_B, noise_var_B, i: int, cell: CellConfig):
     overlap the batch's other device work instead of being a barrier."""
     run = _make_decoder(cell)
     dev = run.batch(grids_B, h_B, noise_var_B, np.int32(i))
-    try:
-        dev.copy_to_host_async()
-    except Exception:
-        pass
     return dev
 
 

@@ -800,11 +800,6 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
         soft_buffers[key] = d_of[jici]
     fused_dev = (jnp.concatenate(fused_parts) if len(fused_parts) > 1
                  else fused_parts[0]) if fused_parts else None
-    if fused_dev is not None:
-        try:
-            fused_dev.copy_to_host_async()
-        except Exception:
-            pass
     return PendingPdschBatch(jobs, results, seg_of, group_rows, fused_dev,
                              n_re_of, d_of=d_of)
 
@@ -949,10 +944,6 @@ def escalate_failures(pb: PendingPdschBatch, esc_idx: List[int],
             d = jnp.pad(d, ((0, n_b - d.shape[0]), (0, 0), (0, 0)))
         fn = _turbo_only_fn(K, n_b, n_iter)
         fused = fn(d)
-        try:
-            fused.copy_to_host_async()
-        except Exception:
-            pass
         pend.append((K, rows, fused))
     shifts = np.arange(32, dtype=np.uint32)
     for K, rows, fused in pend:

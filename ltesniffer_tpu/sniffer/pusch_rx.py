@@ -409,12 +409,6 @@ def dispatch_grants_ul_batch(ul_grids, cell: CellConfig,
             group_rows.append((K, Wk, [(r[0], r[1]) for r in sub]))
     fused_dev = (jnp.concatenate(fused_parts) if len(fused_parts) > 1
                  else fused_parts[0]) if fused_parts else None
-    for dev in (fused_dev, scalars):
-        if dev is not None:
-            try:
-                dev.copy_to_host_async()
-            except Exception:
-                pass
     return PendingUlBatch(jobs, results, seg_of, group_rows, fused_dev,
                           scalars, scalar_row)
 
