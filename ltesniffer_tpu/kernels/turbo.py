@@ -391,9 +391,14 @@ def _bcjr_lanes(apr, l_sys_w, lp_w, a_init, b_init, W: int, L: int):
 @functools.lru_cache(maxsize=64)
 def _make_decoder_lanes(K: int, n_iter: int):
     """Parallel-window decoder in the (8, states-on-sublanes) lane layout,
-    pure XLA.  Same algorithm and index maps as the Pallas driver; measures
-    ~2x faster than the (B, NW, 8) `_make_decoder_pw` at large batch on TPU
-    (full lane occupancy in every ACS / LLR op)."""
+    pure XLA.  Same algorithm and index maps as the Pallas driver.
+
+    MEASURED RESULT (axon v5e, B=4096, K=4416, 4 iters): 1730 ms vs the
+    (B, NW, 8) `_make_decoder_pw`'s 266 ms — the full-lane ACS wins are
+    swamped by the per-iteration QPP interleaves becoming 18M-element flat
+    gathers in window-major layout (in batch-major layout they are cheap
+    shared-index row gathers).  Kept as the documented negative result and
+    a CPU-correctness cross-check (bit-exact vs `_make_decoder_pw`)."""
     W = _window_len(K)
     NW = K // W
 
