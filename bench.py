@@ -121,7 +121,7 @@ def run_ul_e2e(cell):
 
     one_pass()                       # compile/warm
     best_rate, ok = 0.0, 0
-    for _ in range(3):
+    for _ in range(4):
         dt, ok = one_pass()
         best_rate = max(best_rate, UL_SF / dt)
     assert ok >= 0.8 * placed, (ok, placed)
@@ -214,6 +214,19 @@ def _parallel_warmup(cell):
     return threads
 
 
+def tunnel_probe():
+    """One fixed H2D put + readback as a tunnel-health indicator: the
+    shared link to the chip swings ~2-10x with load, so the probe gives
+    context for comparing runs."""
+    import jax
+    import jax.numpy as jnp
+    x = np.ones(1 << 20, np.int32)
+    t0 = time.perf_counter()
+    d = jax.device_put(x)
+    _ = float(jnp.sum(d[:4]))
+    return round((time.perf_counter() - t0) * 1e3, 1)
+
+
 def main():
     from ltesniffer_tpu.phy.params import CellConfig
     cell = CellConfig(n_id_cell=301, n_prb=100, nof_ports=2, nof_rx_ant=1)
@@ -241,7 +254,7 @@ def main():
     rates = []
     s2 = None
     stage_tbl = {}
-    for _ in range(4):
+    for _ in range(6):
         prof.reset()
         dt, s2 = run_e2e(cell, stream, packed)
         rates.append(N_SF / dt)
@@ -277,6 +290,7 @@ def main():
             "dcis": s2["dcis"],
             "ul_e2e_subframes_per_second": round(ul_rate, 1),
             "ul_pusch_ok": ul_ok,
+            "tunnel_probe_ms": tunnel_probe(),
             "stage_seconds_best_pass": {
                 k: v["s"] for k, v in list(stage_tbl.items())[:8]},
         },
