@@ -1192,9 +1192,10 @@ class LTESnifferCore:
                 self.cyclic_shift_cfg = cfg.cyclic_shift
 
     def _learn_ue_config(self, rnti: int, payload: bytes):
-        """UE-specific config from RRC ConnectionSetup in a DL CCCH SDU —
+        """UE-specific config from RRC ConnectionSetup (DL CCCH) or a
+        Reconfiguration-carried radioResourceConfigDedicated (DL DCCH) —
         learned UNCONDITIONALLY, api mode or not (the reference's
-        MCSTracking consumes every ConnectionSetup,
+        MCSTracking consumes every such message,
         `DL_Sniffer_PDSCH.cc:1041-1070` -> `MCSTracking.cc:1446-1529`)."""
         if (rnti in (SIRNTI, PRNTI) or RARNTI_START <= rnti <= RARNTI_END
                 or rnti in self.mcs.ue_config):
@@ -1205,11 +1206,20 @@ class LTESnifferCore:
         except Exception:
             return
         for s in subs:
-            if s.lcid != mac_mod.LCID_CCCH:
-                continue
-            out = rrc_mod.decode_dl_ccch(s.payload)
-            if out and out[0] == "connection_setup":
-                setup = out[1]
+            setup = None
+            if s.lcid == mac_mod.LCID_CCCH:
+                out = rrc_mod.decode_dl_ccch(s.payload)
+                if out and out[0] == "connection_setup":
+                    setup = out[1]
+            elif s.lcid in (1, 2):
+                for cand in mac_mod.rlc_pdcp_rrc_sdu(s.payload):
+                    out = rrc_mod.decode_dl_dcch(cand)
+                    if (out and out[0] == "reconfiguration"
+                            and out[1] is not None
+                            and out[1].setup is not None):
+                        setup = out[1].setup
+                        break
+            if setup is not None:
                 self.mcs.set_ue_config(rnti, trackers.UeConfig(
                     p_a=setup.p_a_db, uci_offset_ack=setup.ack_offset,
                     uci_offset_ri=setup.ri_offset,

@@ -132,3 +132,48 @@ def test_uci_qprime_uses_initial_grant():
     assert hist.initial_dims(0x3333, ndi=0, n_prb=4, mcs=8) == (4, 8)
     # independent RNTIs
     assert hist.initial_dims(0x4444, ndi=0, n_prb=20, mcs=10) == (20, 10)
+
+
+def test_ue_config_learned_from_reconfiguration():
+    """A Reconfiguration-carried radioResourceConfigDedicated updates the
+    UE config DB like a ConnectionSetup does (`MCSTracking.cc:1446-1529`)."""
+    from ltesniffer_tpu.phy.params import CellConfig
+    from ltesniffer_tpu.sniffer import core
+    setup = rrc.RrcConnectionSetup(p_a_db=-3.0, ack_offset=9, ri_offset=7,
+                                   cqi_offset=8, tm=3)
+    # build a reconfiguration carrying the full ConnectionSetup-grade phys
+    # config by splicing the setup encoder's RRCD into a reconfig wrapper
+    from ltesniffer_tpu.mac_rrc.uper import BitWriter
+    w = BitWriter()
+    w.write(0, 1)            # c1
+    w.write(4, 4)            # rrcConnectionReconfiguration
+    w.write(0, 2)            # transaction id
+    w.write(0, 1)            # criticalExtensions c1
+    w.write(0, 3)            # r8
+    w.write(0, 1)            # measConfig absent
+    w.write(0, 1)            # mobilityControlInfo absent
+    w.write(0, 1)            # dedicatedInfoNASList absent
+    w.write(1, 1)            # radioResourceConfigDedicated present
+    w.write(0, 1)            # securityConfigHO absent
+    w.write(0, 1)            # nonCriticalExtension absent
+    # RRCD body identical to encode_connection_setup's (skip its 10-bit
+    # header: c1(1)+choice(2)+tid(2)+crit(1)+c1(3)+noncrit(1))
+    full = rrc.encode_connection_setup(setup)
+    r = __import__("ltesniffer_tpu.mac_rrc.uper", fromlist=["BitReader"]
+                   ).BitReader(full)
+    r.read(10)
+    while r.bits_left() >= 1:
+        w.write(r.read(1), 1)
+    sdu = w.to_bytes()
+    out = rrc.decode_dl_dcch(sdu)
+    assert out[0] == "reconfiguration" and out[1].setup is not None
+    assert out[1].setup.p_a_db == -3.0 and out[1].setup.tm == 3
+
+    cell = CellConfig(n_id_cell=7, n_prb=15, nof_ports=2)
+    c = core.LTESnifferCore(core.SnifferConfig(cell=cell))
+    pdu = mac.build_mac_pdu([mac.MacSubPdu(lcid=1, payload=sdu)])
+    c._learn_ue_config(0x4777, pdu)
+    cfg = c.mcs.ue_config[0x4777]
+    assert cfg.p_a == -3.0
+    assert (cfg.uci_offset_ack, cfg.uci_offset_ri,
+            cfg.uci_offset_cqi, cfg.tm) == (9, 7, 8, 3)
