@@ -70,6 +70,53 @@ def test_golden_pcap_replay(tmp_path):
     assert 0x4D2 in rntis and 0xFFFF in rntis and 0xFFFE in rntis
 
 
+# ---------------------------------------------------------------------------
+# UL-mode golden: dual-carrier scenario -> pinned UL pcap
+# ---------------------------------------------------------------------------
+GOLDEN_UL_PCAP = os.path.join(GOLDEN_DIR, "ul_mode.pcap")
+
+
+def _build_dual():
+    from ltesniffer_tpu.phy import tables
+    sb = scenario.DualScenarioBuilder(CELL, cfi=2, seed=20260821)
+    rng = np.random.default_rng(99)
+    qm, itbs = tables.ul_mcs_to_qm_itbs(6)
+    tbs = tables.tbs_lookup(itbs, 8)
+    for j in range(30):
+        txs = [scenario.UlTx(rnti=0x600 + (j % 4), prb_start=4, n_prb=8,
+                             mcs=6,
+                             tb_bits=rng.integers(0, 2, tbs)
+                             .astype(np.uint8))]
+        sb.add_subframe(j % 10, txs, strict=False)
+    return sb.streams()
+
+
+def _run_ul(tmp_pcap: str):
+    cfg = core.SnifferConfig(cell=CELL, batch_size=8, pcap_path=tmp_pcap,
+                             acquire_sfn=False)
+    c = core.LTESnifferCoreUL(cfg)
+    dl, ul = _build_dual()
+    c.run_dual_samples(dl, ul)
+    c.close()
+    return c
+
+
+def test_golden_ul_pcap_replay(tmp_path):
+    assert os.path.exists(GOLDEN_UL_PCAP), \
+        "golden missing; run python -m tests.test_golden_replay"
+    out = str(tmp_path / "ul.pcap")
+    c = _run_ul(out)
+    got = open(out, "rb").read()
+    want = open(GOLDEN_UL_PCAP, "rb").read()
+    assert hashlib.sha256(got).hexdigest() == \
+        hashlib.sha256(want).hexdigest(), \
+        f"ul pcap drifted: {len(got)} vs {len(want)} bytes"
+    recs = pcap.read_pcap(GOLDEN_UL_PCAP)
+    ul_recs = [r for r in recs if r.get("direction") == 0]
+    assert len(ul_recs) >= 15
+    assert {r["rnti"] for r in ul_recs} >= {0x600, 0x601}
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     import jax
@@ -77,4 +124,7 @@ if __name__ == "__main__":
     c = _run(GOLDEN_PCAP)
     print(f"golden regenerated: {GOLDEN_PCAP}")
     print("summary:", c.summary())
+    cu = _run_ul(GOLDEN_UL_PCAP)
+    n_ok = sum(1 for r in cu.ul_results if r.crc_ok)
+    print(f"ul golden regenerated: {GOLDEN_UL_PCAP} ({n_ok} PUSCH ok)")
     sys.exit(0)
