@@ -514,6 +514,23 @@ class LTESnifferCore:
                                    out_c["cand_pay"]))
                     a += CH
         ctx["outs"] = {"_st": st, "_chunks": chunks}
+        # blocking D2H reads happen in a BACKGROUND thread: the GIL drops
+        # while the tunnel transfer waits, so batch k-1's host resolve /
+        # decode work overlaps batch k's readbacks instead of summing
+        import threading
+
+        def _reader(ctx=ctx):
+            try:
+                ctx["_scal_host"] = np.asarray(ctx["fe"]["scalars"])
+                ctx["_fused_host"] = np.concatenate(
+                    [np.asarray(dev)[skip:]
+                     for dev, skip, _pay in ctx["outs"]["_chunks"]])
+            except Exception as e:       # surfaced at the join point
+                ctx["_read_err"] = e
+
+        t = threading.Thread(target=_reader, daemon=True)
+        t.start()
+        ctx["_reader"] = t
         ctx["stage"] = 2
 
     def _read_scalars(self, ctx: dict):
@@ -524,7 +541,14 @@ class LTESnifferCore:
         B = ctx["B"]
         sf_idx = ctx["sf_idx"]
         with prof.span("p2_scalars"):
-            scal = np.asarray(fe["scalars"])
+            rd = ctx.get("_reader")
+            if rd is not None:
+                rd.join()
+                if "_read_err" in ctx:
+                    raise ctx["_read_err"]
+            scal = ctx.get("_scal_host")
+            if scal is None:
+                scal = np.asarray(fe["scalars"])
         cfi = scal[:, 0].astype(np.int32)
         snrs = scal[:, 1]
         cfos = scal[:, 2]
@@ -598,9 +622,11 @@ class LTESnifferCore:
         out = outs
         st = out["_st"]
         with prof.span("p3_meta"):
-            fused = np.concatenate(
-                [np.asarray(dev)[skip:]
-                 for dev, skip, _pay in out["_chunks"]])
+            fused = ctx.get("_fused_host")
+            if fused is None:
+                fused = np.concatenate(
+                    [np.asarray(dev)[skip:]
+                     for dev, skip, _pay in out["_chunks"]])
         n_loc = len(st["locs"])
         nof_cce = st["nof_cce"]
         S = len(st["size_order"])

@@ -565,6 +565,10 @@ class PendingPdschBatch:
     # n_iter straight from these, skipping equalize/de-rate-match)
     d_of: Dict[Tuple[int, int], object] = dataclasses.field(
         default_factory=dict)
+    # background D2H reader (the GIL drops during the tunnel wait, so host
+    # work overlaps it); host_fused set by the reader, joined in finish
+    reader: object = None
+    host_fused: object = None
 
 
 def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
@@ -800,8 +804,19 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
         soft_buffers[key] = d_of[jici]
     fused_dev = (jnp.concatenate(fused_parts) if len(fused_parts) > 1
                  else fused_parts[0]) if fused_parts else None
-    return PendingPdschBatch(jobs, results, seg_of, group_rows, fused_dev,
-                             n_re_of, d_of=d_of)
+    pb = PendingPdschBatch(jobs, results, seg_of, group_rows, fused_dev,
+                           n_re_of, d_of=d_of)
+    if fused_dev is not None:
+        import threading
+
+        def _read(pb=pb):
+            try:
+                pb.host_fused = np.asarray(pb.fused_dev)
+            except Exception:
+                pb.host_fused = None
+        pb.reader = threading.Thread(target=_read, daemon=True)
+        pb.reader.start()
+    return pb
 
 
 def finish_grants_batch(pb: PendingPdschBatch,
@@ -813,7 +828,11 @@ def finish_grants_batch(pb: PendingPdschBatch,
     if pb.fused_dev is None:
         return results
     with prof.span("pf_d2h"):
-        host = np.asarray(pb.fused_dev)        # ONE D2H for the whole batch
+        if pb.reader is not None:
+            pb.reader.join()
+        host = pb.host_fused
+        if host is None:
+            host = np.asarray(pb.fused_dev)    # ONE D2H for the whole batch
     _t3 = prof.time.perf_counter()
     bits_of: Dict[Tuple[int, int], np.ndarray] = {}
     rem_of: Dict[Tuple[int, int], int] = {}
