@@ -297,6 +297,9 @@ class PendingUlBatch:
     fused_dev: object                  # (rows, 1+W) u32 or None
     scalars_dev: object                # (n_jobs, 2) f32 [snr_db, ta_us]
     scalar_row: Dict[int, int]
+    reader: object = None              # background D2H thread (see DL twin)
+    host_fused: object = None
+    host_scal: object = None
 
 
 def dispatch_grants_ul_batch(ul_grids, cell: CellConfig,
@@ -409,8 +412,20 @@ def dispatch_grants_ul_batch(ul_grids, cell: CellConfig,
             group_rows.append((K, Wk, [(r[0], r[1]) for r in sub]))
     fused_dev = (jnp.concatenate(fused_parts) if len(fused_parts) > 1
                  else fused_parts[0]) if fused_parts else None
-    return PendingUlBatch(jobs, results, seg_of, group_rows, fused_dev,
-                          scalars, scalar_row)
+    pb = PendingUlBatch(jobs, results, seg_of, group_rows, fused_dev,
+                        scalars, scalar_row)
+    if fused_dev is not None:
+        import threading
+
+        def _read(pb=pb):
+            try:
+                pb.host_fused = np.asarray(pb.fused_dev)
+                pb.host_scal = np.asarray(pb.scalars_dev)
+            except Exception:
+                pb.host_fused = pb.host_scal = None
+        pb.reader = threading.Thread(target=_read, daemon=True)
+        pb.reader.start()
+    return pb
 
 
 def finish_grants_ul_batch(pb: PendingUlBatch):
@@ -420,8 +435,12 @@ def finish_grants_ul_batch(pb: PendingUlBatch):
     if pb.fused_dev is None:
         return results
     with prof.span("pu_d2h"):
-        host = np.asarray(pb.fused_dev)
-        scal = np.asarray(pb.scalars_dev)
+        if pb.reader is not None:
+            pb.reader.join()
+        host, scal = pb.host_fused, pb.host_scal
+        if host is None:
+            host = np.asarray(pb.fused_dev)
+            scal = np.asarray(pb.scalars_dev)
     bits_of: Dict[Tuple[int, int], np.ndarray] = {}
     rem_of: Dict[Tuple[int, int], int] = {}
     shifts = np.arange(32, dtype=np.uint32)
