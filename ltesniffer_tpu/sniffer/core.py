@@ -492,7 +492,6 @@ class LTESnifferCore:
             if B <= CH:
                 out_c = run(fe["grids"], fe["h"], fe["noise_var"],
                             fe["snr_db"], jnp.asarray(sf_idx), cfi_dev)
-                self._async_d2h(out_c["cand_fused"])
                 chunks.append((out_c["cand_fused"], 0, out_c["cand_pay"]))
             else:
                 a = 0
@@ -509,7 +508,6 @@ class LTESnifferCore:
                                 fe["snr_db"][a:a + CH],
                                 jnp.asarray(sf_idx[a:a + CH]),
                                 cfi_dev[a:a + CH])
-                    self._async_d2h(out_c["cand_fused"])
                     chunks.append((out_c["cand_fused"], skip,
                                    out_c["cand_pay"]))
                     a += CH
@@ -602,14 +600,6 @@ class LTESnifferCore:
                                     - (ctx["fbase"] + i) // 10) % 1024
                         self._mib_synced = True
                         break
-
-    @staticmethod
-    def _async_d2h(dev):
-        # NOTE: deliberately NOT copy_to_host_async — on the axon tunnel an
-        # async copy enqueued before its producer completes can wedge the
-        # transfer for tens of seconds (measured); a plain read later costs
-        # only ~25 ms RTT once the buffer is computed
-        return dev
 
     def _phase3(self, ctx: dict):
         """Read candidate meta; resolve in time order; fetch accepted
