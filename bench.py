@@ -25,12 +25,38 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    ".jax_cache"))
 
-N_SF = int(os.environ.get("BENCH_SF", "512"))
+# N_SF must be several pipeline-depths of batches: at 512/256 the depth-3
+# pipeline never fills and the measured rate is all fill/drain edge
+N_SF = int(os.environ.get("BENCH_SF", "2048"))
 N_RNTI = int(os.environ.get("BENCH_RNTI", "50"))
 GRANTS = int(os.environ.get("BENCH_GRANTS", "12"))
 BATCH = int(os.environ.get("BENCH_BATCH", "256"))
-UL_SF = int(os.environ.get("BENCH_UL_SF", "256"))
+UL_SF = int(os.environ.get("BENCH_UL_SF", "1024"))
 UL_GRANTS = int(os.environ.get("BENCH_UL_GRANTS", "8"))
+
+# synthesized-scenario disk cache: scenario encode is sample GENERATION
+# (tens of seconds of host numpy at 2048 sf), not sniffer work; bump
+# _SCN_VERSION whenever the generator code changes
+_SCN_VERSION = 1
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".bench_cache")
+
+
+def _scenario_cache(kind: str, params: tuple, build):
+    """build() -> dict of numpy arrays + ints; cached as one npz."""
+    import hashlib
+    key = hashlib.sha1(repr((_SCN_VERSION, kind, params))
+                       .encode()).hexdigest()[:16]
+    path = os.path.join(_CACHE_DIR, f"{kind}_{key}.npz")
+    if os.path.exists(path):
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+    out = build()
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **out)
+    os.replace(tmp, path)
+    return out
 
 
 def build_stream(cell):
@@ -58,6 +84,22 @@ def build_stream(cell):
         placed += sb.add_subframe(sf, txs, strict=False,
                                   with_pbch_sfn=j // 10 if sf == 0 else None)
     return sb.stream(), placed
+
+
+def build_stream_packed(cell):
+    """Cached loaded-cell scenario, stored pre-quantized (the form an
+    8-bit SDR delivers; see `run_e2e`'s timed-region note)."""
+    from ltesniffer_tpu.kernels import cplx
+
+    def _build():
+        stream, placed = build_stream(cell)
+        words, scales = cplx.to_i8_packed(
+            stream[:N_SF * cell.sf_len].reshape(N_SF, 1, cell.sf_len))
+        return dict(words=words, scales=scales,
+                    placed=np.int64(placed))
+    z = _scenario_cache("dl", (N_SF, N_RNTI, GRANTS, cell.n_id_cell,
+                               cell.n_prb, cell.nof_ports), _build)
+    return (z["words"], z["scales"]), int(z["placed"])
 
 
 def run_e2e(cell, stream, packed=None):
@@ -89,23 +131,32 @@ def run_ul_e2e(cell):
     from ltesniffer_tpu.sniffer import core
     from ltesniffer_tpu.testing import scenario
 
-    rng = np.random.default_rng(11)
-    sb = scenario.DualScenarioBuilder(cell, cfi=2, seed=11)
-    qm, itbs = tables.ul_mcs_to_qm_itbs(6)
-    tbs = tables.tbs_lookup(itbs, 8)
-    placed = 0
-    for j in range(UL_SF):
-        txs = [scenario.UlTx(rnti=0x400 + ((j * UL_GRANTS + g) % 40),
-                             tb_bits=rng.integers(0, 2, tbs).astype(np.uint8),
-                             mcs=6, prb_start=g * 8, n_prb=8)
-               for g in range(UL_GRANTS)]
-        placed += sb.add_subframe(j % 10, txs, strict=False)
-    dl_stream, ul_stream = sb.streams()
-    from ltesniffer_tpu.kernels import cplx
-    n = cell.sf_len
-    tot = min(len(dl_stream), len(ul_stream)) // n
-    dl_packed = cplx.to_i8_packed(dl_stream[:tot * n].reshape(tot, 1, n))
-    ul_packed = cplx.to_i8_packed(ul_stream[:tot * n].reshape(tot, 1, n))
+    def _build():
+        rng = np.random.default_rng(11)
+        sb = scenario.DualScenarioBuilder(cell, cfi=2, seed=11)
+        qm, itbs = tables.ul_mcs_to_qm_itbs(6)
+        tbs = tables.tbs_lookup(itbs, 8)
+        placed = 0
+        for j in range(UL_SF):
+            txs = [scenario.UlTx(
+                rnti=0x400 + ((j * UL_GRANTS + g) % 40),
+                tb_bits=rng.integers(0, 2, tbs).astype(np.uint8),
+                mcs=6, prb_start=g * 8, n_prb=8)
+                for g in range(UL_GRANTS)]
+            placed += sb.add_subframe(j % 10, txs, strict=False)
+        dl_stream, ul_stream = sb.streams()
+        from ltesniffer_tpu.kernels import cplx
+        n = cell.sf_len
+        tot = min(len(dl_stream), len(ul_stream)) // n
+        dw, ds = cplx.to_i8_packed(dl_stream[:tot * n].reshape(tot, 1, n))
+        uw, us = cplx.to_i8_packed(ul_stream[:tot * n].reshape(tot, 1, n))
+        return dict(dw=dw, ds=ds, uw=uw, us=us, placed=np.int64(placed))
+
+    z = _scenario_cache("ul", (UL_SF, UL_GRANTS, cell.n_id_cell,
+                               cell.n_prb, cell.nof_ports), _build)
+    dl_packed = (z["dw"], z["ds"])
+    ul_packed = (z["uw"], z["us"])
+    placed = int(z["placed"])
 
     def one_pass():
         # file-mode parity: cell preset, DECODE_MIB skipped
@@ -119,13 +170,18 @@ def run_ul_e2e(cell):
         ok = sum(1 for r in c.ul_results if r.crc_ok)
         return dt, ok
 
+    from ltesniffer_tpu.sniffer import prof
     one_pass()                       # compile/warm
     best_rate, ok = 0.0, 0
+    stage_tbl = {}
     for _ in range(4):
+        prof.reset()
         dt, ok = one_pass()
-        best_rate = max(best_rate, UL_SF / dt)
+        if UL_SF / dt > best_rate:
+            best_rate = UL_SF / dt
+            stage_tbl = prof.report()
     assert ok >= 0.8 * placed, (ok, placed)
-    return best_rate, ok, placed
+    return best_rate, ok, placed, stage_tbl
 
 
 def run_pdcch_only(cell):
@@ -154,7 +210,7 @@ def run_pdcch_only(cell):
     def one():
         fe = front.jitted_i8(packed_d, sf_d, scales_d, np.float32(0.0))
         return run(fe["grids"], fe["h"], fe["noise_var"], fe["snr_db"],
-                   sf_d, fe["cfi"] - 1)
+                   sf_d, fe["cfi"] - 1, fe["scalars"])
 
     out = one()
     _ = float(jnp.sum(out["cce_power"]))
@@ -197,7 +253,7 @@ def _parallel_warmup(cell):
         fe = front.jitted_i8(st, sf, sc, np.float32(0.0))
         run, _ = pdcch_rx.make_unified_search(cell)
         out = run(fe["grids"], fe["h"], fe["noise_var"], fe["snr_db"], sf,
-                  fe["cfi"] - 1)
+                  fe["cfi"] - 1, fe["scalars"])
         out["cand_fused"].block_until_ready()
 
     def wm_ul():
@@ -233,12 +289,10 @@ def main():
 
     t_w = time.perf_counter()
     warm_threads = _parallel_warmup(cell)
-    stream, placed = build_stream(cell)
+    packed, placed = build_stream_packed(cell)
+    stream = None     # e2e passes consume the pre-quantized form only
     print(f"[bench] scenario: {N_SF} sf, {placed} grants, "
-          f"{stream.nbytes / 1e6:.0f} MB", file=sys.stderr)
-    from ltesniffer_tpu.kernels import cplx
-    packed = cplx.to_i8_packed(
-        stream[:N_SF * cell.sf_len].reshape(N_SF, 1, cell.sf_len))
+          f"{packed[0].nbytes / 1e6:.0f} MB packed", file=sys.stderr)
     for t in warm_threads:
         t.join(timeout=600)
     print(f"[bench] parallel warmup + scenario: "
@@ -272,11 +326,14 @@ def main():
     assert s2["pdsch_ok"] >= 0.8 * placed, (s2, placed)
 
     pdcch_rate = run_pdcch_only(cell)
-    ul_rate, ul_ok, ul_placed = (0.0, 0, 0)
+    ul_rate, ul_ok, ul_placed, ul_stage = (0.0, 0, 0, {})
     if UL_SF > 0:
-        ul_rate, ul_ok, ul_placed = run_ul_e2e(cell)
+        ul_rate, ul_ok, ul_placed, ul_stage = run_ul_e2e(cell)
         print(f"[bench] ul mode: {ul_rate:.1f} sf/s, "
               f"{ul_ok}/{ul_placed} PUSCH ok", file=sys.stderr)
+        for k, v in list(ul_stage.items())[:10]:
+            print(f"[bench]   ul {k:21s} {v['s']:8.3f} s  x{v['n']}",
+                  file=sys.stderr)
 
     print(json.dumps({
         "metric": "e2e_loaded_cell_subframes_per_second",
@@ -293,6 +350,8 @@ def main():
             "tunnel_probe_ms": tunnel_probe(),
             "stage_seconds_best_pass": {
                 k: v["s"] for k, v in list(stage_tbl.items())[:8]},
+            "ul_stage_seconds_best_pass": {
+                k: v["s"] for k, v in list(ul_stage.items())[:8]},
         },
     }))
 

@@ -491,7 +491,8 @@ class LTESnifferCore:
         with prof.span("p2_search"):
             if B <= CH:
                 out_c = run(fe["grids"], fe["h"], fe["noise_var"],
-                            fe["snr_db"], jnp.asarray(sf_idx), cfi_dev)
+                            fe["snr_db"], jnp.asarray(sf_idx), cfi_dev,
+                            fe["scalars"])
                 chunks.append((out_c["cand_fused"], 0, out_c["cand_pay"]))
             else:
                 a = 0
@@ -507,19 +508,20 @@ class LTESnifferCore:
                                 fe["noise_var"][a:a + CH],
                                 fe["snr_db"][a:a + CH],
                                 jnp.asarray(sf_idx[a:a + CH]),
-                                cfi_dev[a:a + CH])
+                                cfi_dev[a:a + CH],
+                                fe["scalars"][a:a + CH])
                     chunks.append((out_c["cand_fused"], skip,
                                    out_c["cand_pay"]))
                     a += CH
         ctx["outs"] = {"_st": st, "_chunks": chunks}
         # blocking D2H reads happen in a BACKGROUND thread: the GIL drops
         # while the tunnel transfer waits, so batch k-1's host resolve /
-        # decode work overlaps batch k's readbacks instead of summing
+        # decode work overlaps batch k's readbacks instead of summing.
+        # The frontend scalars ride folded INSIDE cand_fused (one join).
         import threading
 
         def _reader(ctx=ctx):
             try:
-                ctx["_scal_host"] = np.asarray(ctx["fe"]["scalars"])
                 ctx["_fused_host"] = np.concatenate(
                     [np.asarray(dev)[skip:]
                      for dev, skip, _pay in ctx["outs"]["_chunks"]])
@@ -531,22 +533,13 @@ class LTESnifferCore:
         ctx["_reader"] = t
         ctx["stage"] = 2
 
-    def _read_scalars(self, ctx: dict):
-        """Host-side consumption of the fused frontend scalars (CFI / SNR /
-        CFO / RSRP): CFO feedback, sync-loss detection, MIB-based SFN
-        acquisition.  Runs in _phase3 — the search no longer waits on it."""
+    def _consume_scalars(self, ctx: dict, scal: np.ndarray):
+        """Host-side consumption of the frontend scalars (CFI / SNR / CFO /
+        RSRP), unpacked from the fused candidate transfer: CFO feedback,
+        sync-loss detection, MIB-based SFN acquisition."""
         fe = ctx["fe"]
         B = ctx["B"]
         sf_idx = ctx["sf_idx"]
-        with prof.span("p2_scalars"):
-            rd = ctx.get("_reader")
-            if rd is not None:
-                rd.join()
-                if "_read_err" in ctx:
-                    raise ctx["_read_err"]
-            scal = ctx.get("_scal_host")
-            if scal is None:
-                scal = np.asarray(fe["scalars"])
         cfi = scal[:, 0].astype(np.int32)
         snrs = scal[:, 1]
         cfos = scal[:, 2]
@@ -602,16 +595,20 @@ class LTESnifferCore:
                         break
 
     def _phase3(self, ctx: dict):
-        """Read candidate meta; resolve in time order; fetch accepted
-        payloads in one transfer; run handlers and the grouped PDSCH
-        decode."""
+        """Join the single fused D2H (candidates + scalars); resolve in
+        time order; fetch accepted payloads in one transfer; run handlers
+        and the grouped PDSCH decode."""
         outs = ctx["outs"]
         B = ctx["B"]
         sf_idx = ctx["sf_idx"]
-        self._read_scalars(ctx)
         out = outs
         st = out["_st"]
-        with prof.span("p3_meta"):
+        with prof.span("p3_join"):
+            rd = ctx.get("_reader")
+            if rd is not None:
+                rd.join()
+                if "_read_err" in ctx:
+                    raise ctx["_read_err"]
             fused = ctx.get("_fused_host")
             if fused is None:
                 fused = np.concatenate(
@@ -620,7 +617,10 @@ class LTESnifferCore:
         n_loc = len(st["locs"])
         nof_cce = st["nof_cce"]
         S = len(st["size_order"])
-        cand_meta, cce = pdcch_rx.unpack_fused(fused, n_loc, S, nof_cce)
+        with prof.span("p3_meta"):
+            cand_meta, cce, scal = pdcch_rx.unpack_fused(
+                fused, n_loc, S, nof_cce, with_scalars=True)
+        self._consume_scalars(ctx, scal)
         out["_host"] = {
             "cand_meta": cand_meta,
             "cce_power": cce,

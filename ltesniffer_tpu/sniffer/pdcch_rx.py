@@ -69,7 +69,7 @@ def _static_maps(cell: CellConfig, cfi: int):
 
 
 def _candidate_decode_tail(out: dict, llr, cce_power, size_consts,
-                           n_loc: int, B: int):
+                           n_loc: int, B: int, scalars=None):
     """Shared trace-time tail of the blind search: de-rate-match every
     payload size (constant-matrix matmul), ONE fused Viterbi scan over all
     (size x location x subframe) candidates, CRC-XOR RNTIs, and the fused
@@ -134,15 +134,24 @@ def _candidate_decode_tail(out: dict, llr, cce_power, size_consts,
         jnp.pad(cce_power, ((0, 0), (0, ncp - nc))).astype(jnp.float16),
         jnp.uint16).astype(jnp.int32)
     c_packed = c16[:, 0::2] | (c16[:, 1::2] << 16)
-    out["cand_fused"] = jnp.concatenate([r_packed, b_packed, c_packed],
-                                        axis=1)
+    parts = [r_packed, b_packed, c_packed]
+    if scalars is not None:
+        # frontend per-subframe scalars (cfi/snr/cfo/rsrp) fold into the
+        # SAME transfer: one D2H join per batch instead of two (each read
+        # on the tunnel costs a flat ~25 ms RTT)
+        s16 = jax.lax.bitcast_convert_type(
+            scalars.astype(jnp.float16), jnp.uint16).astype(jnp.int32)
+        parts.append(s16[:, 0::2] | (s16[:, 1::2] << 16))   # (B, 2)
+    out["cand_fused"] = jnp.concatenate(parts, axis=1)
     return out
 
 
-def unpack_fused(fused: np.ndarray, n_loc: int, S: int, nof_cce: int):
+def unpack_fused(fused: np.ndarray, n_loc: int, S: int, nof_cce: int,
+                 with_scalars: bool = False):
     """Host-side inverse of the packed candidate transfer: returns
     (cand_meta (B, n_loc, S) int32 [rnti | bit0<<16], cce_power (B,
-    nof_cce) float32)."""
+    nof_cce) float32[, scalars (B, 4) float32 when the producer folded
+    the frontend cfi/snr/cfo/rsrp columns in])."""
     m = n_loc * S
     mp2 = (m + 1) // 2
     mbw = -(-m // 32)
@@ -161,12 +170,22 @@ def unpack_fused(fused: np.ndarray, n_loc: int, S: int, nof_cce: int):
     c16[:, 0::2] = c_packed & 0xFFFF
     c16[:, 1::2] = c_packed >> 16
     cce = c16.view(np.float16)[:, :nof_cce].astype(np.float32)
-    return meta.reshape(B, n_loc, S), cce
+    if not with_scalars:
+        return meta.reshape(B, n_loc, S), cce
+    base = mp2 + mbw + ncw
+    s_packed = fused[:, base:base + 2].view(np.uint32)
+    s16 = np.empty((B, 4), np.uint16)
+    s16[:, 0::2] = s_packed & 0xFFFF
+    s16[:, 1::2] = s_packed >> 16
+    scal = s16.view(np.float16).astype(np.float32)
+    return meta.reshape(B, n_loc, S), cce, scal
 
 
-def fused_width(n_loc: int, S: int, nof_cce: int) -> int:
+def fused_width(n_loc: int, S: int, nof_cce: int,
+                with_scalars: bool = False) -> int:
     m = n_loc * S
-    return (m + 1) // 2 + (-(-m // 32)) + (nof_cce + 1) // 2
+    return ((m + 1) // 2 + (-(-m // 32)) + (nof_cce + 1) // 2
+            + (2 if with_scalars else 0))
 
 
 def _size_consts_of(st):
@@ -225,7 +244,8 @@ def _build_unified(cell: CellConfig):
     n_ports = cell.nof_ports
 
     @jax.jit
-    def run_from_grids(grids, h, noise_var, snr_db, sf_idx, cfi_idx):
+    def run_from_grids(grids, h, noise_var, snr_db, sf_idx, cfi_idx,
+                       scalars=None):
         B = grids.shape[0]
         gflat = grids.reshape(B, grids.shape[1], -1, 2)
         hflat = h.reshape(B, h.shape[1], h.shape[2], -1, 2)
@@ -246,7 +266,8 @@ def _build_unified(cell: CellConfig):
         out = {"snr_db": snr_db, "noise_var": noise_var,
                "cce_power": cce_power, "cfo": jnp.zeros((B,), jnp.float32),
                "grids": grids, "h": h}
-        _candidate_decode_tail(out, llr, cce_power, size_consts, n_loc, B)
+        _candidate_decode_tail(out, llr, cce_power, size_consts, n_loc, B,
+                               scalars=scalars)
         return out
 
     st = dict(st3)
