@@ -26,6 +26,16 @@ import numpy as np
 from ltesniffer_tpu.phy import dci as dci_mod, tables
 from ltesniffer_tpu.phy.params import (CellConfig, SIRNTI, PRNTI,
                                        RARNTI_START, RARNTI_END)
+
+# FDD RA-RNTI = 1 + t_id (36.321 5.1.4: + 10*f_id, but f_id = 0 for FDD —
+# the reference is FDD-only, `README.md:36-37`), so a REAL RAR's RA-RNTI
+# is always <= 10.  RA-range accepts above it (possible CRC-collision
+# false positives within the 1..60 evergreen window) decode through the
+# BATCHED special path instead of the synchronous in-resolve path: each
+# sync handling costs a per-grant device round-trip (~100 ms on the
+# tunnel), so only RNTIs whose T-CRNTI activation can genuinely gate the
+# same batch's later subframes pay for it.
+RARNTI_FDD_END = RARNTI_START + 9
 from ltesniffer_tpu.io import iq as iq_mod, pcap as pcap_mod
 from ltesniffer_tpu.mac_rrc import mac as mac_mod
 from . import (dci_search, frontend, pbch_rx, pdcch_rx, pdsch_rx, prof,
@@ -514,17 +524,24 @@ class LTESnifferCore:
                                    out_c["cand_pay"]))
                     a += CH
         ctx["outs"] = {"_st": st, "_chunks": chunks}
+        # concatenate the per-chunk fused outputs ON DEVICE so the host
+        # pays ONE readback (each read costs a flat ~25 ms tunnel RTT;
+        # 4 chunk reads per batch were 3 wasted round-trips)
+        if len(chunks) == 1 and chunks[0][1] == 0:
+            fused_all = chunks[0][0]
+        else:
+            fused_all = jnp.concatenate(
+                [dev if skip == 0 else dev[skip:]
+                 for dev, skip, _pay in chunks], axis=0)
         # blocking D2H reads happen in a BACKGROUND thread: the GIL drops
         # while the tunnel transfer waits, so batch k-1's host resolve /
         # decode work overlaps batch k's readbacks instead of summing.
         # The frontend scalars ride folded INSIDE cand_fused (one join).
         import threading
 
-        def _reader(ctx=ctx):
+        def _reader(ctx=ctx, fused_all=fused_all):
             try:
-                ctx["_fused_host"] = np.concatenate(
-                    [np.asarray(dev)[skip:]
-                     for dev, skip, _pay in ctx["outs"]["_chunks"]])
+                ctx["_fused_host"] = np.asarray(fused_all)
             except Exception as e:       # surfaced at the join point
                 ctx["_read_err"] = e
 
@@ -641,11 +658,12 @@ class LTESnifferCore:
             # RAR acceptance gates later subframes' RNTI validation:
             # handle it synchronously (rare; pays one extra fetch)
             if self.cfg.decode_pdsch and any(
-                    RARNTI_START <= a.rnti <= RARNTI_END and a.fmt != "0"
+                    RARNTI_START <= a.rnti <= RARNTI_FDD_END and a.fmt != "0"
                     for a in accepted):
                 self._materialize_payloads(outs, [(c, a) for a in accepted])
                 for a in accepted:
-                    if RARNTI_START <= a.rnti <= RARNTI_END and a.fmt != "0":
+                    if (RARNTI_START <= a.rnti <= RARNTI_FDD_END
+                            and a.fmt != "0"):
                         self._handle_dl_dci(ctx["fe"], i, c, a, sfn_i, sf)
                         a._done = True
             resolved.append((i, c, gi, sf, sfn_i, accepted))
@@ -674,7 +692,7 @@ class LTESnifferCore:
                         continue
                     if a.fmt == "0":
                         ul_dcis.append(a)
-                    elif RARNTI_START <= a.rnti <= RARNTI_END:
+                    elif RARNTI_START <= a.rnti <= RARNTI_FDD_END:
                         self._handle_dl_dci(fe, i, c, a, sfn_i, sf)
                     else:
                         job = self._prepare_dl_job(i, c, a, sfn_i, sf,
@@ -877,12 +895,14 @@ class LTESnifferCore:
         """Build a batchable GrantJob for a single-TB DL DCI (None if the
         grant needs the immediate path: MIMO or no usable TBS)."""
         grant = self._grant_of(a)
-        if ack_out is not None and a.rnti not in (SIRNTI, PRNTI):
+        if (ack_out is not None and a.rnti not in (SIRNTI, PRNTI)
+                and not RARNTI_START <= a.rnti <= RARNTI_END):
             ack_out[a.rnti] = max(ack_out.get(a.rnti, 0), grant.nof_tb)
         if grant.nof_tb == 2:
             return None
         tti = trackers.tti_of(sfn, sf)
-        is_special = a.rnti in (SIRNTI, PRNTI)
+        is_special = (a.rnti in (SIRNTI, PRNTI)
+                      or RARNTI_START <= a.rnti <= RARNTI_END)
         known = self.mcs.dl_table_of(a.rnti)
         table = (trackers.McsTable.QAM64
                  if is_special or known == trackers.McsTable.UNKNOWN
@@ -998,7 +1018,12 @@ class LTESnifferCore:
             payload = np.packbits(res.tb_bits).tobytes()
             self._emit_pdsch(a, payload, sfn, sf, crc_ok=True,
                              retx=1 if is_retx else 0)
-            if not t["is_special"]:
+            if RARNTI_START <= a.rnti <= RARNTI_END:
+                # non-FDD-range RA-RNTI decoded via the batch path: RAR
+                # parse + T-CRNTI activation land here (one batch late —
+                # impossible on FDD air, where RA-RNTI <= 10 stays sync)
+                self._handle_rar(payload, sfn, sf)
+            elif not t["is_special"]:
                 self._learn_ue_config(a.rnti, payload)
             if self.api is not None:
                 self._api_dl(a.rnti, payload, sfn, sf)
@@ -1395,21 +1420,31 @@ class LTESnifferCoreUL(LTESnifferCore):
         ul_dev = (jax.device_put(ul_packed[0]), jax.device_put(ul_packed[1]))
         self._seg_base = self._sf_dispatched
         self._seg_sf0 = sf_idx0
-        # one-batch lookahead: batch k+1's DL frontend + search + UL demod
-        # dispatch before batch k's host resolve/decode finishes, so its
-        # device compute overlaps the host work and the readbacks
-        prev = None
+        # depth-3 pipeline, mirroring the DL driver's 4-phase scheme: at
+        # iteration k the loop dispatches batch k's device work (DL
+        # frontend + search + UL demod), finishes batch k-2's PDSCH reads,
+        # then resolves batch k-1 and dispatches its UL grant decode — so
+        # every fused D2H gets a full batch of device compute to overlap.
+        # Ordering invariants preserved: DL phase4(k-2) runs before
+        # phase3(k-1) (HARQ/MCS state gates job prep), and UL finish(k-2)
+        # runs before UL build(k-1) (table learning gates the cascade).
+        from collections import deque
+        q: deque = deque()
         for a in range(0, total, self.cfg.batch_size):
             if self.stop_requested:
                 break
             b = min(a + self.cfg.batch_size, total)
-            cur = self._dispatch_dual(dl_dev, ul_dev, a, b,
-                                      sf_idx[a:b].astype(np.int32))
-            if prev is not None:
-                self._finish_dual(prev, ul_packed)
-            prev = cur
-        if prev is not None:
-            self._finish_dual(prev, ul_packed)
+            q.append(self._dispatch_dual(dl_dev, ul_dev, a, b,
+                                         sf_idx[a:b].astype(np.int32)))
+            if len(q) >= 3:
+                self._phase4(q.popleft()[0])
+            if len(q) >= 2:
+                self._dual_phase3(q[-2], ul_packed)
+        while q:
+            cur = q.popleft()
+            if cur[0]["stage"] < 3:
+                self._dual_phase3(cur, ul_packed)
+            self._phase4(cur[0])
         self._finish_ul_pending()
         return self.ul_results
 
@@ -1434,7 +1469,10 @@ class LTESnifferCoreUL(LTESnifferCore):
                                                  b - a, np.int32(a))
         return (ctx, ul_grids, a, sf_idx)
 
-    def _finish_dual(self, cur, ul_packed):
+    def _dual_phase3(self, cur, ul_packed):
+        """Resolve one dual batch's DL side (collecting the UL grants its
+        subframes schedule), finish the PREVIOUS UL batch, and dispatch
+        this batch's grouped UL grant decode."""
         from . import pusch_rx
         ctx, ul_grids, a, sf_idx = cur
         if self.cfg.draw_maps:
@@ -1447,30 +1485,29 @@ class LTESnifferCoreUL(LTESnifferCore):
         idx_holder = {"i": 0}
         collected: List[tuple] = []
 
-        def hook(ctx):
+        def hook(sf_ctx):
             i = idx_holder["i"]
-            tti = trackers.tti_of(ctx["sfn"], ctx["sf"])
+            tti = trackers.tti_of(sf_ctx["sfn"], sf_ctx["sf"])
             for g in self.ulsche.pop(tti):
-                collected.append((i, ctx["sfn"], ctx["sf"], g))
-            self._work_prach(ul_packed, a + i, ctx["sfn"], ctx["sf"])
+                collected.append((i, sf_ctx["sfn"], sf_ctx["sf"], g))
+            self._work_prach(ul_packed, a + i, sf_ctx["sfn"], sf_ctx["sf"])
             idx_holder["i"] += 1
 
         old_hook = self.on_subframe
         self.on_subframe = hook
         try:
             self._phase3(ctx)
-            self._phase4(ctx)
         finally:
             self.on_subframe = old_hook
-        # grouped UL decode, pipelined one batch deep: batch k-1's fused
-        # D2H is read only now — after batch k's DL device work was
-        # dispatched — so it overlapped that compute.  finish(k-1) runs
-        # before build(k): table learning / trial budgets that batch k-1's
-        # results update gate batch k's cascade decisions.
-        self._finish_ul_pending()
+        # finish(k-1) before build(k): table learning / trial budgets that
+        # batch k-1's results update gate batch k's cascade decisions
+        with prof.span("pu_finish_prev"):
+            self._finish_ul_pending()
         jobs = self._build_ul_jobs(collected)
         if jobs:
-            pb = pusch_rx.dispatch_grants_ul_batch(ul_grids, self.cell, jobs)
+            with prof.span("pu_dispatch"):
+                pb = pusch_rx.dispatch_grants_ul_batch(ul_grids, self.cell,
+                                                       jobs)
             self._ul_pending = (jobs, pb)
 
     # -- PRACH occasion map, 36.211 Table 5.7.1-2 (format 0, FDD) ---------

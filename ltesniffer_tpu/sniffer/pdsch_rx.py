@@ -558,7 +558,8 @@ class PendingPdschBatch:
     results: List[Optional[PdschResult]]
     seg_of: Dict[int, object]
     group_rows: list          # [(K, Wk, [(ji, ci, F), ...]), ...] row order
-    fused_dev: object         # (N_rows, 1 + W_max) u32 device array
+    fused_dev: object         # flat u32 device array: per-group (n, 1+Wk)
+                              # row blocks concatenated (no pad-to-widest)
     n_re_of: Dict[int, int] = dataclasses.field(default_factory=dict)
     # (ji, ci) -> LazyRow into the dispatch's combined-LLR outputs, kept for
     # the iteration-escalation retry (decode failures re-run at higher
@@ -706,10 +707,9 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
     prof.add("pd_collect_cb", prof.time.perf_counter() - _t1)
     # --- per-K device dispatch (bucketed shapes) -------------------------
     group_rows = []
-    fused_parts = []
-    d_of: Dict[Tuple[int, int], LazyRow] = {}
+    fused_parts = []               # flat 1-D segments, one per sub-group:
+    d_of: Dict[Tuple[int, int], LazyRow] = {}   # no pad-to-widest waste
     last_occ: Dict = {}            # key_ci -> LAST (time-ordered) (ji, ci)
-    w_max = max(((K + 31) // 32) for K in by_k) if by_k else 0
     for K, rows in sorted(by_k.items()):
         Wk = (K + 31) // 32
         # time order (ji ascending): the in-batch retx chaining below walks
@@ -789,9 +789,7 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
                 for r_i, (ji, ci_, _F, E, _off, _rv, key_ci, _rt) \
                         in enumerate(sub):
                     d_of[(ji, ci_)] = LazyRow(d, r_i)
-                if Wk < w_max:
-                    fused = jnp.pad(fused, ((0, 0), (0, w_max - Wk)))
-                fused_parts.append(fused[:len(sub)])
+                fused_parts.append(fused[:len(sub)].reshape(-1))
                 group_rows.append((K, Wk, [(r[0], r[1], r[2]) for r in sub]))
         for key, jici in occ_prev.items():
             last = last_occ.get(key)
@@ -840,8 +838,9 @@ def finish_grants_batch(pb: PendingPdschBatch,
     r0 = 0
     for K, Wk, rows in pb.group_rows:
         n = len(rows)
-        sub = host[r0:r0 + n]
-        r0 += n
+        w = 1 + Wk
+        sub = host[r0:r0 + n * w].reshape(n, w)
+        r0 += n * w
         packed = sub[:, 1:1 + Wk]
         bits = ((packed[:, :, None] >> shifts) & 1).astype(np.uint8)
         bits = bits.reshape(n, Wk * 32)[:, :K]

@@ -294,7 +294,7 @@ class PendingUlBatch:
     results: list                      # pre-filled for degenerate jobs
     seg_of: Dict[int, object]
     group_rows: list                   # [(K, Wk, [(ji, ci)...]), ...]
-    fused_dev: object                  # (rows, 1+W) u32 or None
+    fused_dev: object                  # flat u32 (per-group (n,1+Wk) blocks)
     scalars_dev: object                # (n_jobs, 2) f32 [snr_db, ta_us]
     scalar_row: Dict[int, int]
     reader: object = None              # background D2H thread (see DL twin)
@@ -385,8 +385,7 @@ def dispatch_grants_ul_batch(ul_grids, cell: CellConfig,
                 off += E
 
     group_rows = []
-    fused_parts = []
-    w_max = max(((K + 31) // 32) for K in by_k) if by_k else 0
+    fused_parts = []           # flat 1-D segments (no pad-to-widest)
     for K, rows in sorted(by_k.items()):
         Wk = (K + 31) // 32
         # sub-group by the finisher's static shape key (F, laps, rv, src)
@@ -406,9 +405,7 @@ def dispatch_grants_ul_batch(ul_grids, cell: CellConfig,
             with prof.span("pu_turbo_call"):
                 fused, _d = fn(rows_mat, jnp.asarray(rows_idx),
                                jnp.asarray(e_true))
-            if Wk < w_max:
-                fused = jnp.pad(fused, ((0, 0), (0, w_max - Wk)))
-            fused_parts.append(fused[:len(sub)])
+            fused_parts.append(fused[:len(sub)].reshape(-1))
             group_rows.append((K, Wk, [(r[0], r[1]) for r in sub]))
     fused_dev = (jnp.concatenate(fused_parts) if len(fused_parts) > 1
                  else fused_parts[0]) if fused_parts else None
@@ -447,8 +444,9 @@ def finish_grants_ul_batch(pb: PendingUlBatch):
     r0 = 0
     for K, Wk, rows in pb.group_rows:
         n = len(rows)
-        sub = host[r0:r0 + n]
-        r0 += n
+        w = 1 + Wk
+        sub = host[r0:r0 + n * w].reshape(n, w)
+        r0 += n * w
         packed = sub[:, 1:1 + Wk]
         bits = ((packed[:, :, None] >> shifts) & 1).astype(np.uint8)
         bits = bits.reshape(n, Wk * 32)[:, :K]
