@@ -237,31 +237,42 @@ def _parallel_warmup(cell):
 
     def wm_frontend():
         front = fe_mod.make_frontend(cell)
-        T, B = N_SF, BATCH
-        st = jax.device_put(np.zeros((T, 1, cell.sf_len // 2), np.int32))
-        sc = jax.device_put(np.ones(T, np.float32))
-        fe = front.jitted_i8_at(st, sc, B, np.int32(0), np.int32(0),
+        B = BATCH
+        with jax.enable_x64(True):
+            st = jax.device_put(np.zeros((B, 1, cell.sf_len // 4),
+                                         np.int64))
+        sc = jax.device_put(np.ones(B, np.float32))
+        fe = front.jitted_i8c64(st, np.zeros(B, np.int32), sc,
                                 np.float32(0.0))
         fe["scalars"].block_until_ready()
 
     def wm_search():
-        front = fe_mod.make_frontend(cell)
+        # warm the unified-search program directly on shaped zero inputs
+        # (the production fe feeds it device-resident slices, so no extra
+        # frontend variant needs compiling here)
         CH = core_mod.LTESnifferCore.SEARCH_CHUNK
-        st = jax.device_put(np.zeros((CH, 1, cell.sf_len // 2), np.int32))
-        sc = jax.device_put(np.ones(CH, np.float32))
+        P = cell.nof_ports
+        grids = jax.device_put(np.zeros((CH, 1, 14, cell.n_sc, 2),
+                                        np.float32))
+        h = jax.device_put(np.zeros((CH, 1, P, 14, cell.n_sc, 2),
+                                    np.float32))
+        nv = jax.device_put(np.full(CH, 1e-3, np.float32))
+        snr = jax.device_put(np.full(CH, 20.0, np.float32))
         sf = jax.device_put(np.zeros(CH, np.int32))
-        fe = front.jitted_i8(st, sf, sc, np.float32(0.0))
+        cfi = jax.device_put(np.ones(CH, np.int32))
+        scal = jax.device_put(np.zeros((CH, 4), np.float32))
         run, _ = pdcch_rx.make_unified_search(cell)
-        out = run(fe["grids"], fe["h"], fe["noise_var"], fe["snr_db"], sf,
-                  fe["cfi"] - 1, fe["scalars"])
+        out = run(grids, h, nv, snr, sf, cfi, scal)
         out["cand_fused"].block_until_ready()
 
     def wm_ul():
         fe = pusch_rx.make_ul_frontend(cell)
-        T, B = UL_SF, min(BATCH, 128)
-        st = jax.device_put(np.zeros((T, 1, cell.sf_len // 2), np.int32))
-        sc = jax.device_put(np.ones(T, np.float32))
-        fe.jitted_i8_at(st, sc, B, np.int32(0)).block_until_ready()
+        B = min(BATCH, 128)
+        with jax.enable_x64(True):
+            st = jax.device_put(np.zeros((B, 1, cell.sf_len // 4),
+                                         np.int64))
+        sc = jax.device_put(np.ones(B, np.float32))
+        fe.jitted_i8c64(st, sc).block_until_ready()
 
     threads = [threading.Thread(target=t, daemon=True)
                for t in (wm_frontend, wm_search, wm_ul)]

@@ -333,31 +333,47 @@ class LTESnifferCore:
         return self._run_quantized(packed[:total], scales[:total], "i8",
                                    total, sf_idx0)
 
+    # batches of H2D put dispatched ahead of the compute frontier: the
+    # chunked puts let the tunnel transfer batch k+1..k+3 while batch k
+    # computes (a monolithic stream put stalled the first batch behind
+    # the WHOLE transfer — ~10 s for a 2048-sf segment)
+    PREFETCH_BATCHES = 3
+
+    def _put_chunk(self, chunks: dict, w64, scale, sf_idx, k: int,
+                   total: int):
+        a = k * self.cfg.batch_size
+        if k in chunks or a >= total:
+            return
+        import jax
+        b = min(a + self.cfg.batch_size, total)
+        with jax.enable_x64(True):
+            d64 = jax.device_put(w64[a:b])
+        chunks[k] = (d64, jax.device_put(scale[a:b]),
+                     sf_idx[a:b].astype(np.int32))
+
     def _run_quantized(self, frames, scale, quant: str, total: int,
                        sf_idx0: int):
         self._seg_base = self._sf_dispatched
         self._seg_sf0 = sf_idx0
         n = self.cell.sf_len
         sf_idx = (sf_idx0 + np.arange(total)) % 10
-        dev_stream = dev_scale = None
+        w64 = None
+        chunks: dict = {}
         if quant == "i8":
-            # ship the WHOLE stream to the device once (async put that
-            # overlaps the first batches' compute); steady-state batches
-            # slice it on device — per-batch H2D on the axon tunnel is
-            # 10-100x more expensive than one bulk transfer
-            import jax
-            dev_stream = jax.device_put(frames)
-            dev_scale = jax.device_put(scale)
+            from ltesniffer_tpu.kernels import cplx
+            # int64 H2D carrier: same bytes, half the elements, ~2x the
+            # tunnel throughput (element-count-bound link)
+            w64 = cplx.view_i64(frames)
         from collections import deque
         q: deque = deque()
-        for a in range(0, total, self.cfg.batch_size):
+        for kk, a in enumerate(range(0, total, self.cfg.batch_size)):
             if self.stop_requested:
                 break
             b = min(a + self.cfg.batch_size, total)
-            if dev_stream is not None and b - a == self.cfg.batch_size:
-                q.append(self._phase1_dev(dev_stream, dev_scale, a,
-                                          sf_idx[a:b].astype(np.int32)))
-                blk = None
+            if w64 is not None:
+                for kp in range(kk, kk + 1 + self.PREFETCH_BATCHES):
+                    self._put_chunk(chunks, w64, scale, sf_idx, kp, total)
+                q.append(self._phase1_chunk(*chunks.pop(kk)))
             else:
                 blk = frames[a:b]
                 blk_scale = scale[a:b] if quant == "i8" else scale
@@ -415,6 +431,18 @@ class LTESnifferCore:
         self._phase4(ctx)
 
     # ------------------------------------------------------------------
+    def _phase1_chunk(self, d64, d_scale, sf_idx: np.ndarray) -> dict:
+        """Dispatch the frontend on one pre-put int64-carried chunk."""
+        B = len(sf_idx)
+        with prof.span("p1_frontend"):
+            fe = self.frontend.jitted_i8c64(d64, sf_idx, d_scale,
+                                            np.float32(self.est_cfo))
+        base = self._sf_dispatched
+        self._sf_dispatched += B
+        fbase = self._seg_sf0 + (base - self._seg_base)
+        return dict(fe=fe, sf_idx=np.asarray(sf_idx), B=B,
+                    base=base, fbase=fbase, stage=1)
+
     def _phase1_dev(self, dev_stream, dev_scale, a: int,
                     sf_idx: np.ndarray) -> dict:
         """Dispatch the frontend on a device-resident stream slice (no
@@ -1411,13 +1439,15 @@ class LTESnifferCoreUL(LTESnifferCore):
         """Dual-carrier ingest from pre-quantized packed-int8 IQ: both
         streams ride device-resident (one bulk put each), batches slice on
         device (see `run_packed`)."""
-        import jax
+        from ltesniffer_tpu.kernels import cplx
         total = min(dl_packed[0].shape[0], ul_packed[0].shape[0])
         if max_subframes is not None:
             total = min(total, max_subframes)
         sf_idx = (sf_idx0 + np.arange(total)) % 10
-        dl_dev = (jax.device_put(dl_packed[0]), jax.device_put(dl_packed[1]))
-        ul_dev = (jax.device_put(ul_packed[0]), jax.device_put(ul_packed[1]))
+        dl64 = cplx.view_i64(dl_packed[0])
+        ul64 = cplx.view_i64(ul_packed[0])
+        dl_chunks: dict = {}
+        ul_chunks: dict = {}
         self._seg_base = self._sf_dispatched
         self._seg_sf0 = sf_idx0
         # depth-3 pipeline, mirroring the DL driver's 4-phase scheme: at
@@ -1430,12 +1460,16 @@ class LTESnifferCoreUL(LTESnifferCore):
         # runs before UL build(k-1) (table learning gates the cascade).
         from collections import deque
         q: deque = deque()
-        for a in range(0, total, self.cfg.batch_size):
+        for kk, a in enumerate(range(0, total, self.cfg.batch_size)):
             if self.stop_requested:
                 break
-            b = min(a + self.cfg.batch_size, total)
-            q.append(self._dispatch_dual(dl_dev, ul_dev, a, b,
-                                         sf_idx[a:b].astype(np.int32)))
+            for kp in range(kk, kk + 1 + self.PREFETCH_BATCHES):
+                self._put_chunk(dl_chunks, dl64, dl_packed[1], sf_idx,
+                                kp, total)
+                self._put_chunk(ul_chunks, ul64, ul_packed[1], sf_idx,
+                                kp, total)
+            q.append(self._dispatch_dual(dl_chunks.pop(kk),
+                                         ul_chunks.pop(kk), a))
             if len(q) >= 3:
                 self._phase4(q.popleft()[0])
             if len(q) >= 2:
@@ -1456,18 +1490,19 @@ class LTESnifferCoreUL(LTESnifferCore):
             jobs, pb = prev
             self._finish_ul(jobs, pusch_rx.finish_grants_ul_batch(pb))
 
-    def _dispatch_dual(self, dl_dev, ul_dev, a: int, b: int, sf_idx):
+    def _dispatch_dual(self, dl_chunk, ul_chunk, a: int):
         """Device half of one dual batch: DL frontend + blind search
-        dispatch first (the scalar read must not drain behind the UL
+        dispatch first (the candidate read must not drain behind the UL
         demod), then the UL SC-FDMA demod — all in flight, nothing read."""
-        ctx = self._phase1_dev(dl_dev[0], dl_dev[1], a, sf_idx)
+        d64, dsc, sfi = dl_chunk
+        ctx = self._phase1_chunk(d64, dsc, sfi)
         self._phase2(ctx)
         # UL grids stay ON DEVICE: unpacked + demodulated from the
-        # device-resident packed stream; the batched grant decode gathers
-        # from them there and only the fused per-grant results come back
-        ul_grids = self.ul_frontend.jitted_i8_at(ul_dev[0], ul_dev[1],
-                                                 b - a, np.int32(a))
-        return (ctx, ul_grids, a, sf_idx)
+        # pre-put chunk; the batched grant decode gathers from them there
+        # and only the fused per-grant results come back
+        u64, usc, _ = ul_chunk
+        ul_grids = self.ul_frontend.jitted_i8c64(u64, usc)
+        return (ctx, ul_grids, a, sfi)
 
     def _dual_phase3(self, cur, ul_packed):
         """Resolve one dual batch's DL side (collecting the UL grants its

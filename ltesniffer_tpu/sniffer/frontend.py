@@ -109,6 +109,23 @@ def make_frontend(cell: CellConfig):
         int16 pairs (see `cplx.to_i8_packed`)."""
         return _run_i8_mats(samples_p32, sf_idx, scales, cfo, dft)
 
+    @jax.jit
+    def _run_i8c64_mats(chunk64, sf_idx, scales, cfo, mats):
+        # int64 H2D carrier (see `cplx.view_i64`): first op restores the
+        # int32 word stream, everything downstream is unchanged
+        p = jax.lax.bitcast_convert_type(chunk64, jnp.int32)
+        p = p.reshape(chunk64.shape[0], chunk64.shape[1], -1)
+        return run_ri_mats(_unpack_i8(p, scales, cfo), sf_idx, mats)
+
+    def run_i8c64(chunk64, sf_idx, scales, cfo):
+        """Per-batch chunked ingest from the int64-carried packed stream:
+        the caller `device_put`s batch-sized chunks (under
+        `jax.enable_x64(True)`) a few batches ahead, so the tunnel H2D
+        overlaps device compute instead of stalling the first batch
+        behind one monolithic stream transfer."""
+        return _run_i8c64_mats(chunk64, jnp.asarray(sf_idx), scales,
+                               cfo, dft)
+
     @functools.partial(jax.jit, static_argnums=(2,))
     def _run_i8_at_mats(stream_p32, scales, B, start, sf0, cfo, mats):
         p = jax.lax.dynamic_slice_in_dim(stream_p32, start, B, axis=0)
@@ -134,4 +151,5 @@ def make_frontend(cell: CellConfig):
     run.jitted_i16 = run_i16
     run.jitted_i8 = run_i8
     run.jitted_i8_at = run_i8_at
+    run.jitted_i8c64 = run_i8c64
     return run

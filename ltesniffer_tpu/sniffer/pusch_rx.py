@@ -55,6 +55,22 @@ def make_ul_frontend(cell: CellConfig):
         start+B), unpack, demodulate (see `frontend.run_i8_at`)."""
         return _run_i8_at_mats(stream_p32, scales, B, start, dft)
 
+    @jax.jit
+    def _run_i8c64_mats(chunk64, scales, mats):
+        p = jax.lax.bitcast_convert_type(chunk64, jnp.int32)
+        p = p.reshape(chunk64.shape[0], chunk64.shape[1], -1)
+        bytes_ = [((p >> (8 * k)) & 0xFF) for k in range(4)]
+        b = jnp.stack(bytes_, axis=-1)
+        b = ((b ^ 0x80) - 0x80).astype(jnp.float32)
+        x = b.reshape(p.shape[0], p.shape[1], -1, 2) * scales[:, None,
+                                                             None, None]
+        return scfdma.demodulate_ul_ri(x, cell, mats=mats)
+
+    def run_i8c64(chunk64, scales):
+        """Per-batch chunked int64-carried ingest (DL twin:
+        `frontend.run_i8c64`)."""
+        return _run_i8c64_mats(chunk64, scales, dft)
+
     def run(samples):
         x = np.asarray(samples)
         if np.iscomplexobj(x):
@@ -63,6 +79,7 @@ def make_ul_frontend(cell: CellConfig):
 
     run.jitted_ri = run_ri
     run.jitted_i8_at = run_i8_at
+    run.jitted_i8c64 = run_i8c64
     return run
 
 
