@@ -1193,7 +1193,12 @@ class LTESnifferCore:
                             grant: dci_mod.DlGrant, sfn: int, sf: int,
                             tti: int):
         """Formats 2/2A with two enabled TBs: spatial multiplexing decode
-        (TM4 via the DCI's precoding info, TM3 for format 2A)."""
+        (TM4 via the DCI's precoding info, TM3 for format 2A).
+
+        Unknown-table RNTIs run the same dual-table (64 -> 256QAM) trial
+        as the single-TB path, and a success LEARNS the table — the
+        reference's retry wraps ALL its decodes incl. 2-TB
+        (`DL_Sniffer_PDSCH.cc:1090-1243`)."""
         from ltesniffer_tpu.kernels import mimo as mimo_mod
         if a.fmt == "2":
             n_layers, pmi = mimo_mod.decode_pinfo_2tx(grant.precoding, True)
@@ -1201,45 +1206,81 @@ class LTESnifferCore:
         else:
             tm, pmi = 3, 0
         known = self.mcs.dl_table_of(a.rnti)
-        use256 = known == trackers.McsTable.QAM256
-        qms, tbss, keys = [], [], []
-        for q, (mcs, ndi) in enumerate(((grant.mcs, grant.ndi),
-                                        (grant.mcs2, grant.ndi2))):
-            qm, i_tbs = tables.dl_mcs_to_qm_itbs(mcs, use256)
-            tbs = tables.tbs_lookup(i_tbs, grant.n_prb_alloc) if i_tbs >= 0 else 0
+        if known == trackers.McsTable.UNKNOWN:
+            tried = [trackers.McsTable.QAM64, trackers.McsTable.QAM256]
+        else:
+            tried = [known]
+        # HARQ classification ONCE per codeword (not per table trial),
+        # with the first table's TBS — like the single-TB path
+        cw_cfg = ((grant.mcs, grant.ndi, grant.rv),
+                  (grant.mcs2, grant.ndi2, grant.rv2))
+        decs, keys = [], []
+        for q, (mcs, ndi, _rv) in enumerate(cw_cfg):
+            qm0, i_tbs0 = tables.dl_mcs_to_qm_itbs(
+                mcs, tried[0] == trackers.McsTable.QAM256)
+            tbs0 = (tables.tbs_lookup(i_tbs0, grant.n_prb_alloc)
+                    if i_tbs0 >= 0 else 0)
             dec = self.harq.classify(a.rnti, grant.harq_pid, q,
-                                     ndi, tbs, tti)
+                                     ndi, tbs0, tti)
             key = self.harq.buffer_key(a.rnti, grant.harq_pid, q)
             if not dec.is_retx:
                 self.soft_buffers.clear_harq(key)
-            qms.append(qm)
-            tbss.append(dec.tbs)
+            decs.append(dec)
             keys.append(key)
-        if min(tbss) <= 0:
+        # soft combining only when the table is unambiguous (a trial
+        # decode must not pollute the HARQ buffers)
+        use_buffers = len(tried) == 1
+        res = None
+        used_table = tried[0]
+        for table in tried:
+            use256 = table == trackers.McsTable.QAM256
+            qms, tbss = [], []
+            for q, (mcs, _ndi, _rv) in enumerate(cw_cfg):
+                qm, i_tbs = tables.dl_mcs_to_qm_itbs(mcs, use256)
+                tbs = (tables.tbs_lookup(i_tbs, grant.n_prb_alloc)
+                       if i_tbs >= 0 else 0)
+                if decs[q].is_retx and tbs <= 0:
+                    tbs = decs[q].tbs    # mcs 29-31 re-TX: stored TBS
+                qms.append(qm)
+                tbss.append(tbs)
+            if min(tbss) <= 0:
+                continue
+            r = pdsch_rx.decode_grant_mimo(
+                fe["grids"], fe["h"], fe["noise_var"], i, self.cell, sf,
+                cfi, rnti=a.rnti, prb_mask=grant.prb_mask, qms=tuple(qms),
+                tbss=tuple(tbss), tm=tm, pmi=pmi if pmi is not None else 0,
+                rvs=(grant.rv, grant.rv2),
+                soft_buffers=self.soft_buffers if use_buffers else None,
+                harq_keys=tuple(keys) if use_buffers else (None, None))
+            res = r
+            used_table = table
+            if any(x.crc_ok for x in r):
+                if known == trackers.McsTable.UNKNOWN:
+                    self.mcs.learn_dl_table(a.rnti, table)
+                break
+        if res is None:
             return
-        res = pdsch_rx.decode_grant_mimo(
-            fe["grids"], fe["h"], fe["noise_var"], i, self.cell, sf, cfi,
-            rnti=a.rnti, prb_mask=grant.prb_mask, qms=tuple(qms),
-            tbss=tuple(tbss), tm=tm, pmi=pmi if pmi is not None else 0,
-            rvs=(grant.rv, grant.rv2),
-            soft_buffers=self.soft_buffers, harq_keys=tuple(keys))
         st = self.mcs.stat_dl(a.rnti)
         st.last_seen_tti = tti
         for q, r in enumerate(res):
             self.harq.report_crc(a.rnti, grant.harq_pid, q, r.crc_ok)
+            is_retx = decs[q].is_retx
+            if is_retx:
+                st.retx += 1
+            else:
+                st.new_tx += 1
             if r.crc_ok:
                 st.success += 1
                 payload = np.packbits(r.tb_bits).tobytes()
-                self._emit_pdsch(a, payload, sfn, sf, crc_ok=True, retx=0)
+                self._emit_pdsch(a, payload, sfn, sf, crc_ok=True,
+                                 retx=1 if is_retx else 0)
             else:
                 st.fail += 1
             self.results.append(AcceptedPdsch(
                 dci=a, crc_ok=r.crc_ok, tbs=r.tbs,
                 payload=(np.packbits(r.tb_bits).tobytes()
                          if r.crc_ok else None),
-                is_retx=False,
-                table=trackers.McsTable.QAM256 if use256
-                else trackers.McsTable.QAM64))
+                is_retx=is_retx, table=used_table))
 
     def _handle_sib(self, payload: bytes):
         """SI-RNTI PDSCH -> SIB1 (PLMN/cell identity + SI scheduling) and

@@ -154,10 +154,15 @@ def render_power_map(power_db, color: bool = True) -> str:
 
 
 def format_api_table(api) -> str:
-    """Identity table like the reference's api-mode terminal output."""
-    lines = ["RNTI    TMSI        IMSI             IMEI             Cause"]
+    """Identity table like the reference's api-mode terminal output —
+    including the UECapability-seen and GUTI columns the reference
+    surfaces (`UL_Sniffer_PUSCH.cc:874-892`)."""
+    lines = ["RNTI    TMSI        IMSI             IMEI             "
+             "UECap  GUTI                      Cause"]
     for row in api.table():
         lines.append(f"{row['rnti']:<7} {row['tmsi'] or '-':<11} "
                      f"{row['imsi'] or '-':<16} {row['imei'] or '-':<16} "
+                     f"{'yes' if row['ue_capability'] else '-':<6} "
+                     f"{row['guti'] or '-':<25} "
                      f"{row['cause'] or '-'}")
     return "\n".join(lines)

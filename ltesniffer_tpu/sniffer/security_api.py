@@ -153,11 +153,23 @@ class SecurityApi:
                                 sfn=sfn, sf_idx=sf)
 
     def table(self) -> List[dict]:
+        """Identity table rows — every recorded column surfaced,
+        including UECapability sightings and the Attach-Accept GUTI
+        (the reference prints UECapability rows in its api table,
+        `UL_Sniffer_PUSCH.cc:874-892`)."""
         out = []
         for rnti, r in sorted(self.records.items()):
+            guti = None
+            if r.guti is not None:
+                g = r.guti
+                guti = (f"{g.get('plmn', '?')}-"
+                        f"{g.get('mme_group', 0):04x}-"
+                        f"{g.get('mme_code', 0):02x}-"
+                        f"{g.get('m_tmsi', 0):08x}")
             out.append(dict(
                 rnti=hex(rnti), tmsi=hex(r.tmsi) if r.tmsi else None,
                 imsi=r.imsi, imei=r.imei, cause=r.cause,
+                guti=guti, ue_capability=r.has_ue_capability,
                 events=list(r.events)))
         return out
 

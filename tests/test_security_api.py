@@ -95,6 +95,18 @@ def test_security_api_flow(tmp_path):
     assert rec.cause == "mo-Signalling"
     tab = api.table()
     assert tab[0]["imsi"] == "262019876543210"
+    # UECapability + GUTI columns surface in the table
+    # (`UL_Sniffer_PUSCH.cc:874-892` prints UECapability rows)
+    assert tab[0]["ue_capability"] is False
+    api.records[rnti].has_ue_capability = True
+    api.records[rnti].guti = dict(plmn="26201", mme_group=0x8001,
+                                  mme_code=0x02, m_tmsi=0xC0FFEE01)
+    tab = api.table()
+    assert tab[0]["ue_capability"] is True
+    assert tab[0]["guti"] == "26201-8001-02-c0ffee01"
+    from ltesniffer_tpu.sniffer import observability as obs
+    rendered = obs.format_api_table(api)
+    assert "yes" in rendered and "c0ffee01" in rendered
     from ltesniffer_tpu.io import pcap
     recs = pcap.read_pcap(str(tmp_path / "api.pcap"))
     assert len(recs) == 2   # paging + ul_dcch mirrors
