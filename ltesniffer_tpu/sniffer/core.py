@@ -1529,7 +1529,11 @@ class LTESnifferCoreUL(LTESnifferCore):
         if prev is not None:
             self._ul_pending = None
             jobs, pb = prev
-            self._finish_ul(jobs, pusch_rx.finish_grants_ul_batch(pb))
+            esc = (self.cfg.turbo_iters_max
+                   if self.cfg.turbo_iters_max > self.cfg.turbo_iters
+                   else 0)
+            self._finish_ul(jobs, pusch_rx.finish_grants_ul_batch(
+                pb, n_iter_esc=esc))
 
     def _dispatch_dual(self, dl_chunk, ul_chunk, a: int):
         """Device half of one dual batch: DL frontend + blind search
@@ -1581,9 +1585,12 @@ class LTESnifferCoreUL(LTESnifferCore):
             self._finish_ul_pending()
         jobs = self._build_ul_jobs(collected)
         if jobs:
+            # primary pass at few turbo iterations (srsRAN-style early
+            # stop, amortized); CRC failures escalate in finish
             with prof.span("pu_dispatch"):
-                pb = pusch_rx.dispatch_grants_ul_batch(ul_grids, self.cell,
-                                                       jobs)
+                pb = pusch_rx.dispatch_grants_ul_batch(
+                    ul_grids, self.cell, jobs,
+                    n_iter=self.cfg.turbo_iters)
             self._ul_pending = (jobs, pb)
 
     # -- PRACH occasion map, 36.211 Table 5.7.1-2 (format 0, FDD) ---------

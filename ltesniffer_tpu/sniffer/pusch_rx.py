@@ -21,7 +21,7 @@ from ltesniffer_tpu.phy import ul_dmrs
 from ltesniffer_tpu.phy.params import CellConfig
 from ltesniffer_tpu.kernels import cplx, demapper, scfdma
 from . import prof
-from .pdsch_rx import _decode_tb_from_llrs, PdschResult
+from .pdsch_rx import _decode_tb_from_llrs, LazyRow, PdschResult
 
 
 @functools.lru_cache(maxsize=16)
@@ -314,6 +314,11 @@ class PendingUlBatch:
     fused_dev: object                  # flat u32 (per-group (n,1+Wk) blocks)
     scalars_dev: object                # (n_jobs, 2) f32 [snr_db, ta_us]
     scalar_row: Dict[int, int]
+    # (ji, ci) -> LazyRow into the combined-LLR outputs: CRC failures
+    # re-decode from these at a higher turbo iteration count in finish
+    # (the DL path's iteration-escalation scheme)
+    d_of: Dict[Tuple[int, int], object] = dataclasses.field(
+        default_factory=dict)
     reader: object = None              # background D2H thread (see DL twin)
     host_fused: object = None
     host_scal: object = None
@@ -403,6 +408,7 @@ def dispatch_grants_ul_batch(ul_grids, cell: CellConfig,
 
     group_rows = []
     fused_parts = []           # flat 1-D segments (no pad-to-widest)
+    d_of: Dict[Tuple[int, int], LazyRow] = {}
     for K, rows in sorted(by_k.items()):
         Wk = (K + 31) // 32
         # sub-group by the finisher's static shape key (F, laps, rv, src)
@@ -420,14 +426,16 @@ def dispatch_grants_ul_batch(ul_grids, cell: CellConfig,
             fn = _derm_turbo_static_fn(Wm, K, F, laps, rv, n_b, False,
                                        n_iter, src_key)
             with prof.span("pu_turbo_call"):
-                fused, _d = fn(rows_mat, jnp.asarray(rows_idx),
-                               jnp.asarray(e_true))
+                fused, d = fn(rows_mat, jnp.asarray(rows_idx),
+                              jnp.asarray(e_true))
+            for r_i, (ji, ci_, _F, _E, _rv, _sk) in enumerate(sub):
+                d_of[(ji, ci_)] = LazyRow(d, r_i)
             fused_parts.append(fused[:len(sub)].reshape(-1))
             group_rows.append((K, Wk, [(r[0], r[1]) for r in sub]))
     fused_dev = (jnp.concatenate(fused_parts) if len(fused_parts) > 1
                  else fused_parts[0]) if fused_parts else None
     pb = PendingUlBatch(jobs, results, seg_of, group_rows, fused_dev,
-                        scalars, scalar_row)
+                        scalars, scalar_row, d_of=d_of)
     if fused_dev is not None:
         import threading
 
@@ -442,9 +450,15 @@ def dispatch_grants_ul_batch(ul_grids, cell: CellConfig,
     return pb
 
 
-def finish_grants_ul_batch(pb: PendingUlBatch):
-    """Read the fused result + scalar matrices; assemble PuschResults."""
+def finish_grants_ul_batch(pb: PendingUlBatch, n_iter_esc: int = 0):
+    """Read the fused result + scalar matrices; assemble PuschResults.
+
+    n_iter_esc > 0: CRC failures whose grant has no passing table variant
+    re-decode straight from the stored combined LLRs at this (higher)
+    turbo iteration count — the DL path's escalation scheme (srsRAN-style
+    per-CB early stop, batched; reference cap `SubframeWorker.cc:365`)."""
     from ltesniffer_tpu.phy import crc as crc_mod
+    from .pdsch_rx import _gather_lazy_rows, _turbo_only_fn
     jobs, results = pb.jobs, pb.results
     if pb.fused_dev is None:
         return results
@@ -470,9 +484,9 @@ def finish_grants_ul_batch(pb: PendingUlBatch):
         for r_i, (ji, ci_) in enumerate(rows):
             bits_of[(ji, ci_)] = bits[r_i]
             rem_of[(ji, ci_)] = int(sub[r_i, 0])
-    for ji, j in enumerate(jobs):
-        if results[ji] is not None or ji not in pb.seg_of:
-            continue
+
+    def assemble(ji):
+        j = jobs[ji]
         seg = pb.seg_of[ji]
         cb_ok, parts = [], []
         for ci_, K in enumerate(seg.K):
@@ -488,10 +502,53 @@ def finish_grants_ul_batch(pb: PendingUlBatch):
             parts.append(data)
         tb_with_crc = np.concatenate(parts)[:seg.B]
         tb_ok = (all(cb_ok)
-                 and crc_mod.crc_bits(tb_with_crc, crc_mod.CRC24A).sum() == 0)
+                 and crc_mod.crc_bits(tb_with_crc,
+                                      crc_mod.CRC24A).sum() == 0)
         sr = pb.scalar_row[ji]
-        results[ji] = PuschResult(
+        return PuschResult(
             j.rnti, j.tbs, bool(tb_ok),
             tb_with_crc[:j.tbs] if tb_ok else None,
             float(scal[sr, 0]), float(scal[sr, 1]), j.n_prb)
+
+    todo = [ji for ji in range(len(jobs))
+            if results[ji] is None and ji in pb.seg_of]
+    for ji in todo:
+        results[ji] = assemble(ji)
+    if n_iter_esc > 0:
+        # escalate only grants where NO table variant passed (a sibling
+        # variant's CRC pass means the failure is a wrong-table trial)
+        gi_ok = {jobs[ji].tag["gi"] for ji in todo
+                 if results[ji].crc_ok and isinstance(jobs[ji].tag, dict)
+                 and "gi" in jobs[ji].tag}
+        esc = [ji for ji in todo if not results[ji].crc_ok
+               and not (isinstance(jobs[ji].tag, dict)
+                        and jobs[ji].tag.get("gi") in gi_ok)]
+        by_k: Dict[int, list] = {}
+        for ji in esc:
+            for ci_, K in enumerate(pb.seg_of[ji].K):
+                ref = pb.d_of.get((ji, ci_))
+                if ref is not None:
+                    by_k.setdefault(K, []).append((ji, ci_, ref))
+        if by_k:
+            with prof.span("pu_escalate"):
+                for K, rows in sorted(by_k.items()):
+                    n_b = _pow2(len(rows), 32)
+                    d = _gather_lazy_rows([r[2] for r in rows])
+                    if n_b > d.shape[0]:
+                        d = jnp.pad(d, ((0, n_b - d.shape[0]),
+                                        (0, 0), (0, 0)))
+                    fused = np.asarray(_turbo_only_fn(K, n_b,
+                                                      n_iter_esc)(d))
+                    Wk = (K + 31) // 32
+                    packed = fused[:len(rows), 1:1 + Wk]
+                    bits = ((packed[:, :, None] >> shifts) & 1
+                            ).astype(np.uint8)
+                    bits = bits.reshape(len(rows), Wk * 32)[:, :K]
+                    for r_i, (ji, ci_, _ref) in enumerate(rows):
+                        bits_of[(ji, ci_)] = bits[r_i]
+                        rem_of[(ji, ci_)] = int(fused[r_i, 0])
+            for ji in esc:
+                r2 = assemble(ji)
+                if r2.crc_ok:
+                    results[ji] = r2
     return results
