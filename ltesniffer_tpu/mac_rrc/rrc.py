@@ -1014,6 +1014,68 @@ def encode_sib2(cfg: Sib2UlConfig) -> bytes:
     w.write(0, 5)                       # sib-TypeAndInfo: 1 entry
     w.write(0, 1)                       # CHOICE extension bit
     w.write(0, 4)                       # sib2
+    _write_sib2_body(w, cfg)
+    return w.to_bytes()
+
+
+def _write_sib3_body(w: BitWriter, with_extension: bool = False):
+    """Minimal rel-8 SystemInformationBlockType3 (all OPTIONALs present
+    so the skip parser's widest path is exercised)."""
+    w.write(1 if with_extension else 0, 1)   # extension bit
+    w.write(1, 1)                       # speedStateReselectionPars present
+    w.write(4, 4)                       # q-Hyst dB4
+    w.write(1, 3)                       # t-Evaluation s60
+    w.write(1, 3)                       # t-HystNormal s60
+    w.write(5, 4)                       # n-CellChangeMedium 6
+    w.write(7, 4)                       # n-CellChangeHigh 8
+    w.write(1, 2)                       # q-HystSF sf-Medium dB-4
+    w.write(2, 2)                       # q-HystSF sf-High dB-2
+    w.write(1, 1)                       # s-NonIntraSearch present
+    w.write(9, 5)                       # s-NonIntraSearch
+    w.write(4, 5)                       # threshServingLow
+    w.write(5, 3)                       # cellReselectionPriority
+    w.write(1, 1)                       # p-Max present
+    w.write(1, 1)                       # s-IntraSearch present
+    w.write(1, 1)                       # allowedMeasBandwidth present
+    w.write(1, 1)                       # t-ReselectionEUTRA-SF present
+    w.write(24, 6)                      # q-RxLevMin -46
+    w.write(53, 6)                      # p-Max 23
+    w.write(31, 5)                      # s-IntraSearch
+    w.write(3, 3)                       # allowedMeasBandwidth mbw50
+    w.write(1, 1)                       # presenceAntennaPort1
+    w.write(1, 2)                       # neighCellConfig
+    w.write(2, 3)                       # t-ReselectionEUTRA
+    w.write(0, 2)                       # sf-Medium
+    w.write(3, 2)                       # sf-High
+    if with_extension:
+        # one extension addition group, present, opaque 3-byte open type
+        w.write(0, 1)                   # normally-small: short form
+        w.write(0, 6)                   # m - 1 = 0 -> one addition bit
+        w.write(1, 1)                   # present
+        w.write(3, 8)                   # open-type length determinant
+        w.write_bytes(b"\x5a\xa5\x3c")
+
+
+def encode_si_sib3_sib2(cfg: Sib2UlConfig,
+                        sib3_extension: bool = False) -> bytes:
+    """SystemInformation listing SIB3 BEFORE SIB2 — the packing that
+    round 4 could not recover a SIB2 from (`si_other` bail)."""
+    w = BitWriter()
+    w.write(0, 1)                       # BCCH-DL-SCH c1
+    w.write(0, 1)                       # systemInformation
+    w.write(0, 1)                       # criticalExtensions: -r8
+    w.write(0, 1)                       # nonCriticalExtension absent
+    w.write(1, 5)                       # sib-TypeAndInfo: 2 entries
+    w.write(0, 1)                       # CHOICE extension bit
+    w.write(1, 4)                       # sib3
+    _write_sib3_body(w, sib3_extension)
+    w.write(0, 1)                       # CHOICE extension bit
+    w.write(0, 4)                       # sib2
+    _write_sib2_body(w, cfg)
+    return w.to_bytes()
+
+
+def _write_sib2_body(w: BitWriter, cfg: Sib2UlConfig):
     # SystemInformationBlockType2 (extensible)
     w.write(0, 1)                       # extension bit
     w.write(0, 1)                       # ac-BarringInfo absent
@@ -1083,7 +1145,6 @@ def encode_sib2(cfg: Sib2UlConfig) -> bytes:
     w.write(0, 1)                       # ul-Bandwidth absent
     w.write(0, 5)                       # additionalSpectrumEmission 1
     w.write(0, 3)                       # timeAlignmentTimerCommon sf500
-    return w.to_bytes()
 
 
 def _parse_rach_config_common(r: BitReader):
@@ -1146,6 +1207,62 @@ def _decode_sib2_body(r: BitReader) -> Sib2UlConfig:
     return cfg
 
 
+def _skip_seq_extensions(r: BitReader):
+    """Skip a SEQUENCE's extension additions (X.691 18.7-18.9): a
+    normally-small bitmap length, the presence bitmap, then one
+    length-delimited open type per present addition — exact regardless of
+    the additions' inner grammar."""
+    m = r.read_normally_small() + 1
+    present = [r.read(1) for _ in range(m)]
+    for p in present:
+        if p:
+            r.skip_open_type()
+
+
+def _skip_sib3_body(r: BitReader):
+    """Field-exact skip of SystemInformationBlockType3 (36.331 rel-8
+    §6.3.1) so a SystemInformation message that lists SIB3 BEFORE SIB2
+    (legal packing the reference handles via full asn1,
+    `DL_Sniffer_PDSCH.cc:459-570`) still yields the SIB2 UL config."""
+    ext = r.read(1)                      # SIB3 extension bit
+    # cellReselectionInfoCommon
+    has_speed = r.read(1)                # speedStateReselectionPars
+    r.read(4)                            # q-Hyst (16 values)
+    if has_speed:
+        r.read(3)                        # t-Evaluation
+        r.read(3)                        # t-HystNormal
+        r.read(4)                        # n-CellChangeMedium (1..16)
+        r.read(4)                        # n-CellChangeHigh (1..16)
+        r.read(2)                        # q-HystSF sf-Medium
+        r.read(2)                        # q-HystSF sf-High
+    # cellReselectionServingFreqInfo
+    has_nonintra = r.read(1)             # s-NonIntraSearch
+    if has_nonintra:
+        r.read(5)
+    r.read(5)                            # threshServingLow
+    r.read(3)                            # cellReselectionPriority
+    # intraFreqCellReselectionInfo
+    has_pmax = r.read(1)
+    has_sintra = r.read(1)
+    has_ambw = r.read(1)
+    has_sf = r.read(1)                   # t-ReselectionEUTRA-SF
+    r.read(6)                            # q-RxLevMin (-70..-22)
+    if has_pmax:
+        r.read(6)                        # p-Max (-30..33)
+    if has_sintra:
+        r.read(5)                        # s-IntraSearch
+    if has_ambw:
+        r.read(3)                        # allowedMeasBandwidth (6 values)
+    r.read(1)                            # presenceAntennaPort1
+    r.read(2)                            # neighCellConfig
+    r.read(3)                            # t-ReselectionEUTRA
+    if has_sf:
+        r.read(2)                        # sf-Medium
+        r.read(2)                        # sf-High
+    if ext:
+        _skip_seq_extensions(r)          # lateNonCriticalExtension etc.
+
+
 def decode_bcch(data: bytes):
     """Returns ('sib1', Sib1Info) or ('sib2', Sib2UlConfig) (first SIB2 in
     a SystemInformation message) or ('si_other', None) or None."""
@@ -1168,6 +1285,12 @@ def decode_bcch(data: bytes):
                 try:
                     return ("sib2", _decode_sib2_body(r))
                 except _Bail:
+                    return ("si_other", None)
+            if which == 1:              # sib3: field-exact skip, keep
+                try:                    # scanning for a later SIB2
+                    _skip_sib3_body(r)
+                    continue
+                except (IndexError, ValueError):
                     return ("si_other", None)
             # other SIBs: grammar not modeled; without their length we
             # cannot continue past them

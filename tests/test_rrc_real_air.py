@@ -154,6 +154,27 @@ def test_roundtrip_still_matches_real_grammar():
               "zero_correlation_zone"):
         assert getattr(back, f) == getattr(cfg, f), f
 
+
+def test_si_with_leading_sib3_recovers_sib2():
+    """SystemInformation listing SIB3 before SIB2 (legal packing): the
+    field-exact SIB3 skip must land the reader precisely on the SIB2 —
+    round-4 gap: any leading non-SIB2 SIB bailed as si_other (the
+    reference decodes generic SI via full asn1,
+    `DL_Sniffer_PDSCH.cc:459-570`)."""
+    cfg = rrc.Sib2UlConfig(group_hopping=True, cyclic_shift=3, delta_ss=11,
+                           pusch_hopping_offset=8, n_sb=2,
+                           prach_root_seq_index=450, prach_config_index=12,
+                           prach_freq_offset=2, zero_correlation_zone=7)
+    for ext in (False, True):       # incl. SIB3 with extension additions
+        kind, back = rrc.decode_bcch(
+            rrc.encode_si_sib3_sib2(cfg, sib3_extension=ext))
+        assert kind == "sib2", (kind, ext)
+        for f in ("group_hopping", "cyclic_shift", "delta_ss",
+                  "pusch_hopping_offset", "n_sb", "prach_root_seq_index",
+                  "prach_config_index", "prach_freq_offset",
+                  "zero_correlation_zone"):
+            assert getattr(back, f) == getattr(cfg, f), (f, ext)
+
     info = rrc.Sib1Info(mcc="901", mnc="55", tac=7, cell_identity=0x19B01,
                         freq_band=7, scheduling=[(16, ["sibType3"])],
                         si_window_ms=20)
