@@ -390,13 +390,16 @@ class LTESnifferCore:
                                       scale=blk_scale, quant=quant))
             depth = max(1, self.cfg.pipeline_depth)
             if depth >= 3:
-                # deep 4-phase pipeline (2 batches of device work queued)
+                # deep 5-phase pipeline (2+ batches of device work queued)
                 if len(q) >= 2:
                     self._phase2(q[-2])
-                # finish(k) must run before build(k+1): trackers (HARQ/MCS)
-                # that batch k's results update gate batch k+1's decisions
+                # finalize(k) must run before build(k+1): trackers
+                # (HARQ/MCS) that batch k's results update gate batch
+                # k+1's decisions — phase5(k-4) precedes phase3(k-2)
+                if len(q) >= 5:
+                    self._phase5(q.popleft())
                 if len(q) >= 4:
-                    self._phase4(q.popleft())
+                    self._phase4(q[-4])
                 if len(q) >= 3:
                     self._phase3(q[-3])
             elif depth == 2:
@@ -407,18 +410,22 @@ class LTESnifferCore:
                     ctx = q.popleft()
                     self._phase3(ctx)
                     self._phase4(ctx)
+                    self._phase5(ctx)
             else:
                 ctx = q.popleft()
                 self._phase2(ctx)
                 self._phase3(ctx)
                 self._phase4(ctx)
+                self._phase5(ctx)
         while q:
             ctx = q.popleft()
             if ctx["stage"] < 2:
                 self._phase2(ctx)
             if ctx["stage"] < 3:
                 self._phase3(ctx)
-            self._phase4(ctx)
+            if ctx["stage"] < 4:
+                self._phase4(ctx)
+            self._phase5(ctx)
         return self.results
 
     # ------------------------------------------------------------------
@@ -429,6 +436,7 @@ class LTESnifferCore:
         self._phase2(ctx)
         self._phase3(ctx)
         self._phase4(ctx)
+        self._phase5(ctx)
 
     # ------------------------------------------------------------------
     def _phase1_chunk(self, d64, d_scale, sf_idx: np.ndarray) -> dict:
@@ -525,13 +533,13 @@ class LTESnifferCore:
         # lands in _phase3 together with the candidate matrix
         cfi_dev = fe["cfi"] - 1
         CH = self.SEARCH_CHUNK
-        chunks = []   # (cand_fused dev, head-skip, cand_pay dev)
+        chunks = []   # (cand_fused dev, head-skip)
         with prof.span("p2_search"):
             if B <= CH:
                 out_c = run(fe["grids"], fe["h"], fe["noise_var"],
                             fe["snr_db"], jnp.asarray(sf_idx), cfi_dev,
                             fe["scalars"])
-                chunks.append((out_c["cand_fused"], 0, out_c["cand_pay"]))
+                chunks.append((out_c["cand_fused"], 0))
             else:
                 a = 0
                 while a < B:
@@ -548,8 +556,7 @@ class LTESnifferCore:
                                 jnp.asarray(sf_idx[a:a + CH]),
                                 cfi_dev[a:a + CH],
                                 fe["scalars"][a:a + CH])
-                    chunks.append((out_c["cand_fused"], skip,
-                                   out_c["cand_pay"]))
+                    chunks.append((out_c["cand_fused"], skip))
                     a += CH
         ctx["outs"] = {"_st": st, "_chunks": chunks}
         # concatenate the per-chunk fused outputs ON DEVICE so the host
@@ -560,7 +567,7 @@ class LTESnifferCore:
         else:
             fused_all = jnp.concatenate(
                 [dev if skip == 0 else dev[skip:]
-                 for dev, skip, _pay in chunks], axis=0)
+                 for dev, skip in chunks], axis=0)
         # blocking D2H reads happen in a BACKGROUND thread: the GIL drops
         # while the tunnel transfer waits, so batch k-1's host resolve /
         # decode work overlaps batch k's readbacks instead of summing.
@@ -658,13 +665,15 @@ class LTESnifferCore:
             if fused is None:
                 fused = np.concatenate(
                     [np.asarray(dev)[skip:]
-                     for dev, skip, _pay in out["_chunks"]])
+                     for dev, skip in out["_chunks"]])
         n_loc = len(st["locs"])
         nof_cce = st["nof_cce"]
         S = len(st["size_order"])
         with prof.span("p3_meta"):
-            cand_meta, cce, scal = pdcch_rx.unpack_fused(
-                fused, n_loc, S, nof_cce, with_scalars=True)
+            cand_meta, cce, scal, pay = pdcch_rx.unpack_fused(
+                fused, n_loc, S, nof_cce, with_scalars=True,
+                with_payloads=True)
+        ctx["_pay"] = pay
         self._consume_scalars(ctx, scal)
         out["_host"] = {
             "cand_meta": cand_meta,
@@ -688,7 +697,7 @@ class LTESnifferCore:
             if self.cfg.decode_pdsch and any(
                     RARNTI_START <= a.rnti <= RARNTI_FDD_END and a.fmt != "0"
                     for a in accepted):
-                self._materialize_payloads(outs, [(c, a) for a in accepted])
+                self._materialize_payloads(ctx, [(c, a) for a in accepted])
                 for a in accepted:
                     if (RARNTI_START <= a.rnti <= RARNTI_FDD_END
                             and a.fmt != "0"):
@@ -699,7 +708,7 @@ class LTESnifferCore:
         # ---- one payload fetch for everything accepted in the batch
         refs = [(c, a) for (_, c, _, _, _, acc) in resolved for a in acc
                 if isinstance(a.payload, dci_search.PayloadRef)]
-        self._materialize_payloads(outs, refs)
+        self._materialize_payloads(ctx, refs)
         # ---- pass B: handlers in time order + batched PDSCH jobs
         pending = []
         fe = ctx["fe"]
@@ -753,56 +762,89 @@ class LTESnifferCore:
         ctx["stage"] = 3
 
     def _phase4(self, ctx: dict):
-        """Read the fused PDSCH results; retries, handlers, pcap, stats."""
-        with prof.span("pdsch_finish"):
-            self._finish_pending(ctx.get("pdsch") or [])
-        self._tick_observers(ctx["B"])
+        """Join the primary fused PDSCH read; DISPATCH the iteration
+        escalation and the unknown-table 256QAM retry asynchronously —
+        their results apply in _phase5 one iteration later, so the
+        re-decodes overlap the next batch's host work instead of a
+        synchronous dispatch+read that drains the device queue inline."""
+        post = []
+        for fe, jobs, pb in ctx.get("pdsch") or []:
+            with prof.span("p4_results"):
+                res = pdsch_rx.finish_grants_batch(
+                    pb, soft_buffers=self.soft_buffers)
+            esc = None
+            if self.cfg.turbo_iters_max > self.cfg.turbo_iters:
+                esc_idx = [idx for idx, r in enumerate(res)
+                           if r is not None and not r.crc_ok
+                           and idx in pb.seg_of]
+                if esc_idx:
+                    with prof.span("p4_escalate_dispatch"):
+                        esc = pdsch_rx.escalate_dispatch(
+                            pb, esc_idx, self.cfg.turbo_iters_max)
+            # unknown-table misses: batched retry with the 256QAM table
+            # (`DL_Sniffer_PDSCH.cc:1090-1243` dual-table trial)
+            retry = None
+            retry_jobs, retry_idx = [], []
+            for idx, (job, r) in enumerate(zip(jobs, res)):
+                t = job.tag
+                if (r is not None and not r.crc_ok and not t["is_special"]
+                        and t["known"] == trackers.McsTable.UNKNOWN):
+                    qm2, i2 = tables.dl_mcs_to_qm_itbs(t["grant"].mcs, True)
+                    tbs2 = (tables.tbs_lookup(i2, t["grant"].n_prb_alloc)
+                            if i2 >= 0 else 0)
+                    if tbs2 > 0:
+                        retry_jobs.append(dataclasses.replace(
+                            job, qm=qm2, tbs=tbs2, harq_key=None))
+                        retry_idx.append(idx)
+            if retry_jobs:
+                with prof.span("p4_retry_dispatch"):
+                    rpb = pdsch_rx.dispatch_grants_batch(
+                        fe["grids"], fe["h"], fe["noise_var"], self.cell,
+                        retry_jobs, n_iter=self.cfg.turbo_iters_max)
+                retry = (retry_idx, rpb)
+            post.append((jobs, pb, res, esc, retry))
+        ctx["pdsch_post"] = post
         ctx["stage"] = 4
 
-    def _materialize_payloads(self, outs: dict, refs):
-        """Replace PayloadRefs with real bit arrays.  Payload words stay
-        DEVICE-RESIDENT (the tunnel's ~8 MB/s D2H made shipping all
-        candidates' payloads the largest per-batch cost); accepted
-        candidates fetch theirs in ONE gather dispatch + one tiny D2H."""
+    def _phase5(self, ctx: dict):
+        """Apply escalation/retry results; run handlers, pcap, stats."""
+        for jobs, pb, res, esc, retry in ctx.get("pdsch_post") or []:
+            if esc is not None:
+                with prof.span("p5_escalate_join"):
+                    pdsch_rx.escalate_finish(
+                        pb, esc, soft_buffers=self.soft_buffers)
+            if retry is not None:
+                retry_idx, rpb = retry
+                with prof.span("p5_retry_join"):
+                    res2 = pdsch_rx.finish_grants_batch(rpb)
+                for idx, r2 in zip(retry_idx, res2):
+                    # escalation (64QAM at full iterations) wins ties —
+                    # the reference tries 64 first, then 256
+                    if r2.crc_ok and not res[idx].crc_ok:
+                        res[idx] = r2
+                        jobs[idx].tag["table"] = trackers.McsTable.QAM256
+            with prof.span("p5_finish_dl"):
+                for job, r in zip(jobs, res):
+                    self._finish_dl(job, r, job.tag)
+        self._tick_observers(ctx["B"])
+        ctx["stage"] = 5
+
+    def _materialize_payloads(self, ctx: dict, refs):
+        """Replace PayloadRefs with real bit arrays from the host copy of
+        the candidate payload matrix (it rides the overlapped fused
+        transfer; the former device-side accepted-only gather was a
+        synchronous dispatch+read that drained the whole in-order device
+        queue mid-resolve)."""
         todo = [a for _c, a in refs
                 if isinstance(a.payload, dci_search.PayloadRef)]
         if not todo:
             return
-        with prof.span("p3_payload_fetch"):
-            chunks = outs["_chunks"]
-            CH = int(chunks[0][2].shape[0])
-            # map the global batch row to the virtual chunk concatenation
-            # (tail chunks overlap backward by `skip` rows)
-            bases = []
-            g = 0
-            for _dev, skip, _pay in chunks:
-                bases.append(g - skip)
-                g += int(_pay.shape[0]) - skip
-            M = len(todo)
-            Mp = pdsch_rx._pow2(M, 64)
-            b_v = np.zeros(Mp, np.int32)
-            loc = np.zeros(Mp, np.int32)
-            size = np.zeros(Mp, np.int32)
-            for i, a in enumerate(todo):
-                gi = a.payload.b
-                c = len(chunks) - 1
-                # find the chunk owning this global row
-                for ci in range(len(chunks)):
-                    lo = bases[ci] + chunks[ci][1]
-                    hi = bases[ci] + CH
-                    if lo <= gi < hi:
-                        c = ci
-                        break
-                b_v[i] = c * CH + (gi - bases[c])
-                loc[i] = a.payload.loc_idx
-                size[i] = a.payload.size_idx
-            fetch = pdcch_rx.make_payload_fetcher_multi(len(chunks))
-            words = np.asarray(fetch(
-                tuple(p for _d, _s, p in chunks), jnp.asarray(b_v),
-                jnp.asarray(loc), jnp.asarray(size)))
-            for i, a in enumerate(todo):
-                a.payload = pdcch_rx.unpack_payload(words[i],
-                                                    a.payload.nbits)
+        pay = ctx["_pay"]
+        with prof.span("p3_payload"):
+            for a in todo:
+                words = pay[a.payload.b, a.payload.loc_idx,
+                            a.payload.size_idx]
+                a.payload = pdcch_rx.unpack_payload(words, a.payload.nbits)
 
     # ------------------------------------------------------------------
     def _draw_rb_map(self, accepted, sfn: int, sf: int):
@@ -979,54 +1021,6 @@ class LTESnifferCore:
             fe["grids"], fe["h"], fe["noise_var"], self.cell, pending,
             soft_buffers=self.soft_buffers, n_iter=self.cfg.turbo_iters)
         return [(fe, pending, pb)]
-
-    def _finish_pending(self, handles):
-        """Finish device decodes (one fused D2H), escalate CRC failures to
-        a high-iteration turbo retry, run the batched unknown-table 256QAM
-        retry, and postprocess every job."""
-        for fe, jobs, pb in handles:
-            res = pdsch_rx.finish_grants_batch(pb,
-                                               soft_buffers=self.soft_buffers)
-            # iteration escalation: the primary pass runs few turbo
-            # iterations (srsRAN-style early stop, amortized: most CBs
-            # converge immediately); failures re-decode from the stored
-            # combined LLRs at up to `turbo_iters_max` (reference cap 12,
-            # `SubframeWorker.cc:365`)
-            if self.cfg.turbo_iters_max > self.cfg.turbo_iters:
-                esc_idx = [idx for idx, r in enumerate(res)
-                           if r is not None and not r.crc_ok
-                           and idx in pb.seg_of]
-                if esc_idx:
-                    with prof.span("pdsch_escalate"):
-                        n_fixed = pdsch_rx.escalate_failures(
-                            pb, esc_idx, self.cfg.turbo_iters_max,
-                            soft_buffers=self.soft_buffers)
-                    del n_fixed
-            # unknown-table misses: one batched retry with the 256QAM table
-            # (`DL_Sniffer_PDSCH.cc:1090-1243` dual-table trial)
-            retry_jobs, retry_idx = [], []
-            for idx, (job, r) in enumerate(zip(jobs, res)):
-                t = job.tag
-                if (not r.crc_ok and not t["is_special"]
-                        and t["known"] == trackers.McsTable.UNKNOWN):
-                    qm2, i2 = tables.dl_mcs_to_qm_itbs(t["grant"].mcs, True)
-                    tbs2 = (tables.tbs_lookup(i2, t["grant"].n_prb_alloc)
-                            if i2 >= 0 else 0)
-                    if tbs2 > 0:
-                        retry_jobs.append(dataclasses.replace(
-                            job, qm=qm2, tbs=tbs2, harq_key=None))
-                        retry_idx.append(idx)
-            if retry_jobs:
-                res2 = pdsch_rx.decode_grants_batch(
-                    fe["grids"], fe["h"], fe["noise_var"], self.cell,
-                    retry_jobs, n_iter=self.cfg.turbo_iters_max)
-                for idx, r2 in zip(retry_idx, res2):
-                    if r2.crc_ok:
-                        res[idx] = r2
-                        jobs[idx].tag["table"] = trackers.McsTable.QAM256
-            with prof.span("p4_finish_dl"):
-                for job, r in zip(jobs, res):
-                    self._finish_dl(job, r, job.tag)
 
     def _finish_dl(self, job, res, t):
         a = t["a"]
@@ -1491,14 +1485,16 @@ class LTESnifferCoreUL(LTESnifferCore):
         ul_chunks: dict = {}
         self._seg_base = self._sf_dispatched
         self._seg_sf0 = sf_idx0
-        # depth-3 pipeline, mirroring the DL driver's 4-phase scheme: at
+        # deep pipeline, mirroring the DL driver's 5-phase scheme: at
         # iteration k the loop dispatches batch k's device work (DL
-        # frontend + search + UL demod), finishes batch k-2's PDSCH reads,
-        # then resolves batch k-1 and dispatches its UL grant decode — so
-        # every fused D2H gets a full batch of device compute to overlap.
-        # Ordering invariants preserved: DL phase4(k-2) runs before
-        # phase3(k-1) (HARQ/MCS state gates job prep), and UL finish(k-2)
-        # runs before UL build(k-1) (table learning gates the cascade).
+        # frontend + search + UL demod), finalizes batch k-3, joins batch
+        # k-2's PDSCH reads + dispatches its escalation, then resolves
+        # batch k-1 and dispatches its UL grant decode — so every fused
+        # D2H gets at least a full batch of device compute to overlap.
+        # Ordering invariants preserved: DL phase5(k-3) runs before
+        # dual_phase3(k-1) (HARQ/MCS state gates job prep), and UL
+        # finish(k-2) runs before UL build(k-1) (table learning gates
+        # the cascade).
         from collections import deque
         q: deque = deque()
         for kk, a in enumerate(range(0, total, self.cfg.batch_size)):
@@ -1511,15 +1507,19 @@ class LTESnifferCoreUL(LTESnifferCore):
                                 kp, total)
             q.append(self._dispatch_dual(dl_chunks.pop(kk),
                                          ul_chunks.pop(kk), a))
+            if len(q) >= 4:
+                self._phase5(q.popleft()[0])
             if len(q) >= 3:
-                self._phase4(q.popleft()[0])
+                self._phase4(q[-3][0])
             if len(q) >= 2:
                 self._dual_phase3(q[-2], ul_packed)
         while q:
             cur = q.popleft()
             if cur[0]["stage"] < 3:
                 self._dual_phase3(cur, ul_packed)
-            self._phase4(cur[0])
+            if cur[0]["stage"] < 4:
+                self._phase4(cur[0])
+            self._phase5(cur[0])
         self._finish_ul_pending()
         return self.ul_results
 

@@ -109,12 +109,9 @@ def _candidate_decode_tail(out: dict, llr, cce_power, size_consts,
                             * w32, axis=-1, dtype=jnp.uint32))
     out["cand_meta"] = jnp.stack(metas, axis=-1)       # (B, n_loc, S)
     out["cand_pay"] = jnp.stack(pays, axis=-2)         # (B, n_loc, S, 2)
-    # the fused host transfer is PACKED tight — the tunnel's D2H measures
-    # ~8 MB/s, so bytes are the scarce resource: RNTIs two per word, the
+    # the fused host transfer is PACKED tight: RNTIs two per word, the
     # format-0/1A discriminator bits as a bitmap, CCE powers as f16
-    # pairs; payload words stay DEVICE-RESIDENT and are fetched
-    # post-resolve for accepted candidates only
-    # (`make_payload_fetcher_multi`).  `unpack_fused` reverses all of it.
+    # pairs.  `unpack_fused` reverses all of it.
     m = n_loc * len(metas)
     meta_flat = out["cand_meta"].reshape(B, -1)
     rnti16 = (meta_flat & 0xFFFF)
@@ -142,16 +139,24 @@ def _candidate_decode_tail(out: dict, llr, cce_power, size_consts,
         s16 = jax.lax.bitcast_convert_type(
             scalars.astype(jnp.float16), jnp.uint16).astype(jnp.int32)
         parts.append(s16[:, 0::2] | (s16[:, 1::2] << 16))   # (B, 2)
+    # ALL candidates' packed payload words ride the same overlapped
+    # transfer: the D2H link is cheap per byte once a read is in flight,
+    # while the former accepted-only device-side gather was a SYNCHRONOUS
+    # dispatch+read in the middle of resolve that drained the whole
+    # in-order device queue (one full batch of compute) every batch
+    parts.append(jax.lax.bitcast_convert_type(
+        out["cand_pay"], jnp.int32).reshape(B, -1))       # (B, m*2)
     out["cand_fused"] = jnp.concatenate(parts, axis=1)
     return out
 
 
 def unpack_fused(fused: np.ndarray, n_loc: int, S: int, nof_cce: int,
-                 with_scalars: bool = False):
+                 with_scalars: bool = False, with_payloads: bool = False):
     """Host-side inverse of the packed candidate transfer: returns
     (cand_meta (B, n_loc, S) int32 [rnti | bit0<<16], cce_power (B,
     nof_cce) float32[, scalars (B, 4) float32 when the producer folded
-    the frontend cfi/snr/cfo/rsrp columns in])."""
+    the frontend cfi/snr/cfo/rsrp columns in][, pay (B, n_loc, S, 2)
+    uint32 packed payload words])."""
     m = n_loc * S
     mp2 = (m + 1) // 2
     mbw = -(-m // 32)
@@ -170,22 +175,28 @@ def unpack_fused(fused: np.ndarray, n_loc: int, S: int, nof_cce: int,
     c16[:, 0::2] = c_packed & 0xFFFF
     c16[:, 1::2] = c_packed >> 16
     cce = c16.view(np.float16)[:, :nof_cce].astype(np.float32)
-    if not with_scalars:
-        return meta.reshape(B, n_loc, S), cce
+    out = [meta.reshape(B, n_loc, S), cce]
     base = mp2 + mbw + ncw
-    s_packed = fused[:, base:base + 2].view(np.uint32)
-    s16 = np.empty((B, 4), np.uint16)
-    s16[:, 0::2] = s_packed & 0xFFFF
-    s16[:, 1::2] = s_packed >> 16
-    scal = s16.view(np.float16).astype(np.float32)
-    return meta.reshape(B, n_loc, S), cce, scal
+    if with_scalars:
+        s_packed = fused[:, base:base + 2].view(np.uint32)
+        s16 = np.empty((B, 4), np.uint16)
+        s16[:, 0::2] = s_packed & 0xFFFF
+        s16[:, 1::2] = s_packed >> 16
+        out.append(s16.view(np.float16).astype(np.float32))
+        base += 2
+    if with_payloads:
+        out.append(fused[:, base:base + 2 * m].view(np.uint32)
+                   .reshape(B, n_loc, S, 2))
+    return tuple(out)
 
 
 def fused_width(n_loc: int, S: int, nof_cce: int,
-                with_scalars: bool = False) -> int:
+                with_scalars: bool = False,
+                with_payloads: bool = True) -> int:
     m = n_loc * S
     return ((m + 1) // 2 + (-(-m // 32)) + (nof_cce + 1) // 2
-            + (2 if with_scalars else 0))
+            + (2 if with_scalars else 0)
+            + (2 * m if with_payloads else 0))
 
 
 def _size_consts_of(st):
@@ -279,29 +290,6 @@ def make_unified_search(cell: CellConfig):
     """(run(grids, h, noise_var, snr_db, sf_idx, cfi_idx), static maps):
     the cfi-dynamic single-program blind search (see `_build_unified`)."""
     return _build_unified(cell)
-
-
-@functools.lru_cache(maxsize=16)
-def make_payload_fetcher():
-    """Jitted gather: (cand_pay (B, n_loc, S, 2) u32, b (M,), loc (M,),
-    size (M,)) -> (M, 2) u32 packed payload words."""
-    @jax.jit
-    def fetch(cand_pay, b, loc, size):
-        return cand_pay[b, loc, size]
-    return fetch
-
-
-@functools.lru_cache(maxsize=16)
-def make_payload_fetcher_multi(n_chunks: int):
-    """One-dispatch accepted-payload fetch across the search's per-chunk
-    device outputs: (chunks tuple of (CH, n_loc, S, 2) u32, b_global (M,),
-    loc (M,), size (M,)) -> (M, 2) u32.  b_global indexes the virtual
-    concatenation of the chunks (CH rows each)."""
-    @jax.jit
-    def fetch(chunks, b, loc, size):
-        allp = jnp.concatenate(chunks, axis=0) if n_chunks > 1 else chunks[0]
-        return allp[b, loc, size]
-    return fetch
 
 
 def unpack_payload(words: np.ndarray, d_payload: int) -> np.ndarray:

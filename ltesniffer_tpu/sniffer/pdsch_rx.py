@@ -934,15 +934,16 @@ def _gather_lazy_rows(refs: List):
     return jnp.take(stacked, jnp.asarray(inv.astype(np.int32)), axis=0)
 
 
-def escalate_failures(pb: PendingPdschBatch, esc_idx: List[int],
-                      n_iter: int,
-                      soft_buffers: Optional[Dict] = None) -> int:
-    """Re-decode CRC-failed jobs at a higher turbo iteration count straight
-    from the dispatch's stored combined LLRs (no re-equalize / de-rate-
-    match).  Updates `pb.results` in place; returns the number of jobs
-    flipped to CRC-ok.  The batched analog of srsRAN's per-CB early-stop
-    (iterate-until-CRC) under the reference's 12-iteration cap
-    (`SubframeWorker.cc:365`)."""
+def escalate_dispatch(pb: PendingPdschBatch, esc_idx: List[int],
+                      n_iter: int):
+    """Launch the iteration-escalation re-decode of CRC-failed jobs on
+    device (straight from the stored combined LLRs, no re-equalize /
+    de-rate-match) and start its D2H in a background reader.  Returns a
+    handle for `escalate_finish` (None if nothing to escalate) — the
+    batched analog of srsRAN's per-CB early-stop (iterate-until-CRC)
+    under the reference's 12-iteration cap (`SubframeWorker.cc:365`),
+    finished one pipeline phase later so the re-decode overlaps the next
+    batch's host work instead of draining the device queue inline."""
     by_k: Dict[int, list] = {}
     for ji in esc_idx:
         seg = pb.seg_of.get(ji)
@@ -952,8 +953,6 @@ def escalate_failures(pb: PendingPdschBatch, esc_idx: List[int],
             ref = pb.d_of.get((ji, ci_))
             if ref is not None:
                 by_k.setdefault(K, []).append((ji, ci_, ref))
-    bits_of: Dict[Tuple[int, int], np.ndarray] = {}
-    rem_of: Dict[Tuple[int, int], int] = {}
     pend = []
     for K, rows in sorted(by_k.items()):
         n_b = _pow2(len(rows), 64)
@@ -961,11 +960,38 @@ def escalate_failures(pb: PendingPdschBatch, esc_idx: List[int],
         if n_b > d.shape[0]:
             d = jnp.pad(d, ((0, n_b - d.shape[0]), (0, 0), (0, 0)))
         fn = _turbo_only_fn(K, n_b, n_iter)
-        fused = fn(d)
-        pend.append((K, rows, fused))
+        pend.append((K, rows, fn(d)))
+    if not pend:
+        return None
+    h = {"pend": pend, "esc_idx": list(esc_idx)}
+    import threading
+
+    def _read(h=h):
+        try:
+            h["host"] = [np.asarray(f) for _K, _r, f in h["pend"]]
+        except Exception:
+            h["host"] = None
+    t = threading.Thread(target=_read, daemon=True)
+    t.start()
+    h["reader"] = t
+    return h
+
+
+def escalate_finish(pb: PendingPdschBatch, h,
+                    soft_buffers: Optional[Dict] = None) -> int:
+    """Join the escalation readback; apply fixed results to `pb.results`
+    in place; returns the number of jobs flipped to CRC-ok."""
+    if h is None:
+        return 0
+    h["reader"].join()
+    hosts = h.get("host")
+    if hosts is None:
+        hosts = [np.asarray(f) for _K, _r, f in h["pend"]]
+    bits_of: Dict[Tuple[int, int], np.ndarray] = {}
+    rem_of: Dict[Tuple[int, int], int] = {}
     shifts = np.arange(32, dtype=np.uint32)
-    for K, rows, fused in pend:
-        host = np.asarray(fused)[:len(rows)]
+    for (K, rows, _f), host in zip(h["pend"], hosts):
+        host = host[:len(rows)]
         Wk = (K + 31) // 32
         packed = host[:, 1:1 + Wk]
         bits = ((packed[:, :, None] >> shifts) & 1).astype(np.uint8)
@@ -974,7 +1000,7 @@ def escalate_failures(pb: PendingPdschBatch, esc_idx: List[int],
             bits_of[(ji, ci_)] = bits[r_i]
             rem_of[(ji, ci_)] = int(host[r_i, 0])
     n_fixed = 0
-    for ji in esc_idx:
+    for ji in h["esc_idx"]:
         if ji not in pb.seg_of:
             continue
         if any((ji, ci_) not in bits_of
@@ -985,6 +1011,14 @@ def escalate_failures(pb: PendingPdschBatch, esc_idx: List[int],
             pb.results[ji] = r2
             n_fixed += 1
     return n_fixed
+
+
+def escalate_failures(pb: PendingPdschBatch, esc_idx: List[int],
+                      n_iter: int,
+                      soft_buffers: Optional[Dict] = None) -> int:
+    """Synchronous dispatch+finish escalation (tests / simple callers)."""
+    return escalate_finish(pb, escalate_dispatch(pb, esc_idx, n_iter),
+                           soft_buffers=soft_buffers)
 
 
 def decode_grants_batch(grids, h, noise_var, cell: CellConfig,
