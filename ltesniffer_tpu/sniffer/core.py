@@ -1457,6 +1457,126 @@ class LTESnifferCoreUL(LTESnifferCore):
         self.prach_detections: List[dict] = []
         self.ul_hist = trackers.UlGrantHistory()
 
+    def run_dual_source(self, dl_source, ul_source,
+                        max_subframes: Optional[int] = None,
+                        chunk_subframes: int = 256, ul_skew: int = 0):
+        """Live-capable dual-carrier ingest: two `SampleSource`s on one
+        sample clock (the reference's dual-frequency rf open,
+        `LTESniffer_Core.cc:176-191,225`).  PSS cell search + tracking run
+        on the DL stream; the UL stream is SLAVED to the DL timing (both
+        streams are sliced at identical positions, so drift corrections
+        and sync-loss re-acquires apply to both — per-stream handling as
+        one shared clock, which is what the dual-channel radio gives).
+
+        ul_skew: known inter-stream sample offset (UL content sitting
+        `ul_skew` samples LATER in its stream than the corresponding DL
+        time — analog-path delay / TA pre-buffer margin, the reference's
+        ta_buffer `LTESniffer_Core.cc:100-104`); compensated at ingest."""
+        n = self.cell.sf_len
+        need = 12 * n
+        dl_acc: List[np.ndarray] = []
+        ul_acc: List[np.ndarray] = []
+        got = 0
+        while got < need:
+            blk = dl_source.read(need - got)
+            ublk = ul_source.read(need - got)
+            if blk is None or ublk is None:
+                break
+            m = min(len(blk), len(ublk))   # lockstep: keep pairs aligned
+            dl_acc.append(np.asarray(blk[:m], np.complex64))
+            ul_acc.append(np.asarray(ublk[:m], np.complex64))
+            got += m
+        dl_carry = (np.concatenate(dl_acc) if dl_acc
+                    else np.zeros(0, np.complex64))
+        ul_carry = (np.concatenate(ul_acc) if ul_acc
+                    else np.zeros(0, np.complex64))
+        if ul_skew > 0:        # UL content arrives later in its stream
+            ul_carry = ul_carry[ul_skew:]
+        elif ul_skew < 0:
+            ul_carry = np.concatenate(
+                [np.zeros(-ul_skew, np.complex64), ul_carry])
+        det = sync.find_cell(dl_carry[:12 * n], self.cell.n_fft)
+        if det is None:
+            raise RuntimeError("cell search failed: no PSS/SSS found")
+        if det.n_id_cell != self.cell.n_id_cell:
+            raise RuntimeError(
+                f"cell ID mismatch: found {det.n_id_cell}, "
+                f"configured {self.cell.n_id_cell}")
+        self.tracker = sync.SubframeTracker(
+            self.cell, det.subframe_offset, 5 if det.is_subframe5 else 0,
+            cfo=det.cfo)
+        dl_seg: List[np.ndarray] = []
+        ul_seg: List[np.ndarray] = []
+        seg_sf0 = self.tracker.sf_idx
+        done = 0
+
+        def flush():
+            nonlocal dl_seg, ul_seg
+            if dl_seg:
+                from ltesniffer_tpu.kernels import cplx
+                T = len(dl_seg)
+                dl_p = cplx.to_i8_packed(
+                    np.stack(dl_seg).reshape(T, 1, n))
+                ul_p = cplx.to_i8_packed(
+                    np.stack(ul_seg).reshape(T, 1, n))
+                self.run_dual_packed(dl_p, ul_p, sf_idx0=seg_sf0)
+                dl_seg = []
+                ul_seg = []
+
+        eos = done_limit = False
+        while not eos and not done_limit and not self.stop_requested:
+            pad = len(dl_carry) - len(ul_carry)
+            if pad > 0:        # a short UL read: keep positions aligned
+                ul_carry = np.concatenate(
+                    [ul_carry, np.zeros(pad, np.complex64)])
+            yielded = 0
+            for sf_idx, frame, ul_frame in self.tracker.frames(
+                    dl_carry, aux=ul_carry):
+                yielded += 1
+                if self.stop_requested:
+                    break
+                if self.tracker.sync_lost:
+                    flush()
+                    seg_sf0 = sf_idx
+                    self._mib_synced = False
+                    self._mib_sf0_seen = 0
+                    self.sync_losses += 1
+                    self.tracker.sync_lost = False
+                done += 1
+                dl_seg.append(frame)
+                ul_seg.append(ul_frame)
+                if len(dl_seg) >= chunk_subframes:
+                    flush()
+                    seg_sf0 = self.tracker.sf_idx
+                if max_subframes is not None and done >= max_subframes:
+                    done_limit = True
+                    break
+            tail_start = len(dl_carry) + self.tracker.offset
+            dl_tail = (dl_carry[tail_start:]
+                       if 0 <= tail_start <= len(dl_carry)
+                       else np.zeros(0, np.complex64))
+            ul_tail = (ul_carry[tail_start:]
+                       if 0 <= tail_start <= len(ul_carry)
+                       else np.zeros(0, np.complex64))
+            if yielded == 0 and len(dl_tail) > 4 * n:
+                dl_tail = dl_tail[-2 * n:]
+                ul_tail = ul_tail[-2 * n:]
+            nxt = dl_source.read(chunk_subframes * n)
+            unxt = ul_source.read(chunk_subframes * n)
+            if nxt is None or unxt is None:
+                eos = True
+                dl_carry = np.zeros(0, np.complex64)
+                ul_carry = np.zeros(0, np.complex64)
+            else:
+                m = min(len(nxt), len(unxt))
+                dl_carry = np.concatenate(
+                    [dl_tail, np.asarray(nxt[:m], np.complex64)])
+                ul_carry = np.concatenate(
+                    [ul_tail, np.asarray(unxt[:m], np.complex64)])
+                self.tracker.offset = 0
+        flush()
+        return self.ul_results
+
     def run_dual_samples(self, dl_samples: np.ndarray, ul_samples: np.ndarray,
                          sf_idx0: int = 0,
                          max_subframes: Optional[int] = None):

@@ -244,8 +244,16 @@ class SubframeTracker:
         return None
 
     # -- main loop -------------------------------------------------------
-    def frames(self, samples: np.ndarray):
-        """Yield (sf_idx, subframe_samples) tuples from the stream."""
+    def frames(self, samples: np.ndarray, aux: np.ndarray = None):
+        """Yield (sf_idx, subframe_samples) tuples from the stream.
+
+        aux: an optional second sample stream on the SAME sample clock
+        (the UL carrier of the reference's dual-channel rf open,
+        `LTESniffer_Core.cc:176-191`): every yielded tuple grows a third
+        element sliced at the identical positions, so the aux stream is
+        slaved to the DL PSS timing — drift corrections and re-acquires
+        apply to both.  No DL CFO correction is applied to aux (separate
+        carrier; the UL chain estimates its own channel from DMRS)."""
         n = self.cell.sf_len
         if abs(self.cfo) > 1e-4:
             # mix the whole chunk by the running estimate; the residual
@@ -274,7 +282,12 @@ class SubframeTracker:
                             pos = max(pos, 0)
                             if pos + n > len(samples):
                                 break
-            yield self.sf_idx, samples[pos:pos + n]
+            if aux is None:
+                yield self.sf_idx, samples[pos:pos + n]
+            else:
+                a = aux[pos:pos + n] if pos + n <= len(aux) \
+                    else np.zeros(n, np.complex64)
+                yield self.sf_idx, samples[pos:pos + n], a
             self.sf_idx = (self.sf_idx + 1) % 10
             pos += n
         self.offset = pos - len(samples)

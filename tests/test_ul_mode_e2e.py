@@ -190,3 +190,78 @@ def test_ul_table_cascade_learns_16qam(tmp_path):
     c.close()
     assert len(c.ul_results) == 1 and c.ul_results[0].crc_ok
     assert c.mcs.ul_table_of(rnti) == trackers.McsTable.UL_16QAM
+
+
+def test_run_dual_source_with_interstream_skew(tmp_path):
+    """Live dual-carrier ingest (round-4 gap): paired SampleSources with a
+    DELIBERATE inter-stream sample offset, PSS acquisition on the DL
+    stream, UL slaved to the DL timing, skew compensated at ingest
+    (`LTESniffer_Core.cc:176-191,225` dual-frequency rf open + ta_buffer
+    `:100-104`)."""
+    from ltesniffer_tpu.io import sdr as sdr_mod
+    rng = np.random.default_rng(3)
+    rnti = 0x2f2f
+    ul_mcs = 6
+    prb_start, n_prb = 5, 10
+    qm, i_tbs = tables.ul_mcs_to_qm_itbs(ul_mcs)
+    tbs = tables.tbs_lookup(i_tbs, n_prb)
+    tb = rng.integers(0, 2, tbs).astype(np.uint8)
+    h_dl = encoder.flat_channel(CELL, 1, rng)
+    dl_frames, ul_frames = [], []
+    # cell search may lock on the sf5 PSS, losing global subframes 0-4:
+    # schedule the chain safely after the earliest possible lock point
+    dci0_sent_at = 6
+    for j in range(16):
+        sf = j % 10
+        txs = []
+        if j == dci0_sent_at:
+            cands = search_space.ue_candidates(rnti, sf, _nof_cce())
+            l, ncce = [c for c in cands if c[0] == 2][0]
+            d = dci_mod.Dci(fmt="0", rnti=rnti, fields=dict(
+                flag0_1a=0, hopping=0,
+                riv=ra.start_len_to_riv(prb_start, n_prb, 50),
+                mcs=ul_mcs, ndi=1, tpc=0, dmrs_cs=2, cqi_request=0))
+            txs.append(encoder.TxDci(dci=d, L=l, ncce=ncce))
+        g = encoder.build_control_subframe(CELL, sf, CFI, txs)
+        rxg = encoder.apply_channel(g, h_dl, 0.04, rng)
+        dl_frames.append(encoder.subframe_iq(CELL, rxg)[0])
+        if j == dci0_sent_at + 4:
+            ug = encoder.build_ul_subframe(CELL, sf, [dict(
+                rnti=rnti, prb_start=prb_start, n_prb=n_prb, qm=qm,
+                tb_bits=tb, dmrs_field=2)])
+        else:
+            ug = np.zeros((1, 14, CELL.n_sc), np.complex64)
+        un = ug + 0.03 / np.sqrt(2) * (
+            rng.standard_normal(ug.shape)
+            + 1j * rng.standard_normal(ug.shape))
+        ul_frames.append(
+            encoder.ul_subframe_iq(CELL, un.astype(np.complex64))[0])
+
+    lead, skew = 3000, 500
+    noise = lambda k: (0.01 / np.sqrt(2) * (      # noqa: E731
+        rng.standard_normal(k) + 1j * rng.standard_normal(k))
+        ).astype(np.complex64)
+    dl_stream = np.concatenate([noise(lead)] + dl_frames)
+    ul_stream = np.concatenate([noise(lead + skew)] + ul_frames)
+
+    def run(ul_skew):
+        cfg = core.SnifferConfig(cell=CELL, batch_size=4,
+                                 acquire_sfn=False)
+        c = core.LTESnifferCoreUL(cfg)
+        c.run_dual_source(
+            sdr_mod.ArraySource(dl_stream, CELL.srate),
+            sdr_mod.ArraySource(ul_stream, CELL.srate),
+            chunk_subframes=6, ul_skew=ul_skew)
+        return c
+
+    c = run(skew)
+    assert len(c.ul_results) == 1
+    r = c.ul_results[0]
+    assert r.crc_ok and r.rnti == rnti
+    assert r.sf_idx == (dci0_sent_at + 4) % 10
+    np.testing.assert_array_equal(
+        np.unpackbits(np.frombuffer(r.payload, np.uint8))[:tbs], tb)
+    # negative control: without the skew compensation the slaved UL slice
+    # misses the DMRS alignment and the decode fails
+    c0 = run(0)
+    assert not any(x.crc_ok for x in c0.ul_results)
