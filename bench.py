@@ -26,10 +26,15 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                                    ".jax_cache"))
 
 # N_SF must be several pipeline-depths of batches: at 512/256 the depth-3
-# pipeline never fills and the measured rate is all fill/drain edge
+# pipeline never fills and the measured rate is all fill/drain edge.
+# 150 RNTIs matches the baseline cell ("150 active users", BASELINE.md);
+# a third of them live on the 256QAM table (dual-table trial + learn
+# load) and every subframe carries a 2-TB spatial-mux DCI (W_MIMO
+# tracker load on the 1-RX receiver, like the reference's default rig).
 N_SF = int(os.environ.get("BENCH_SF", "2048"))
-N_RNTI = int(os.environ.get("BENCH_RNTI", "50"))
+N_RNTI = int(os.environ.get("BENCH_RNTI", "150"))
 GRANTS = int(os.environ.get("BENCH_GRANTS", "12"))
+MIMO_DCIS = int(os.environ.get("BENCH_MIMO_DCIS", "1"))
 BATCH = int(os.environ.get("BENCH_BATCH", "256"))
 UL_SF = int(os.environ.get("BENCH_UL_SF", "1024"))
 UL_GRANTS = int(os.environ.get("BENCH_UL_GRANTS", "8"))
@@ -37,7 +42,7 @@ UL_GRANTS = int(os.environ.get("BENCH_UL_GRANTS", "8"))
 # synthesized-scenario disk cache: scenario encode is sample GENERATION
 # (tens of seconds of host numpy at 2048 sf), not sniffer work; bump
 # _SCN_VERSION whenever the generator code changes
-_SCN_VERSION = 1
+_SCN_VERSION = 2
 _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           ".bench_cache")
 
@@ -65,22 +70,45 @@ def build_stream(cell):
     from ltesniffer_tpu.mac_rrc import mac
     from ltesniffer_tpu.testing import scenario
 
+    from ltesniffer_tpu.phy import tables
+
     sb = scenario.ScenarioBuilder(cell, cfi=2, seed=7)
-    rntis = [0x100 + i for i in range(N_RNTI)]
+    # the last few RNTIs are TM3 (format 2A) UEs: the RNTI manager's
+    # per-RNTI DL-format lock (reference `RNTIManager.cc:343-369`) means
+    # a UE is either 1A-scheduled or 2A-scheduled, not both
+    n_mimo_ues = max(1, 2 * MIMO_DCIS)
+    rntis = [0x100 + i for i in range(N_RNTI - n_mimo_ues)]
+    mimo_rntis = [0x100 + N_RNTI - n_mimo_ues + i
+                  for i in range(n_mimo_ues)]
+    # every third UE lives on the 256QAM table: mcs 7 differs between the
+    # tables (64-table: QPSK; 256-table: 16QAM), so the sniffer must
+    # dual-table-trial the first grant and LEARN
+    mcs256 = 7
+    qm256, itbs256 = tables.dl_mcs_to_qm_itbs(mcs256, True)
+    tbs256 = tables.tbs_lookup(itbs256, 8)
     ndi = {}
     placed = 0
     for j in range(N_SF):
         sf = j % 10
         txs = []
         for g in range(GRANTS):
-            r = rntis[(j * GRANTS + g) % N_RNTI]
+            r = rntis[(j * GRANTS + g) % len(rntis)]
             pid = (j // 8) % 8
             ndi[(r, pid)] = ndi.get((r, pid), 1) ^ 1
+            on256 = (r - 0x100) % 3 == 2
+            size = min(40 + 10 * (g % 3), tbs256 // 8 - 2)
             pdu = mac.build_mac_pdu([mac.MacSubPdu(
-                lcid=3, payload=bytes([g]) * (40 + 10 * (g % 3)))])
-            txs.append(scenario.DlTx(rnti=r, mac_pdu=pdu, n_prb=8,
-                                     prb_start=g * 8, harq_pid=pid,
-                                     ndi=ndi[(r, pid)]))
+                lcid=3, payload=bytes([g]) * size)])
+            txs.append(scenario.DlTx(
+                rnti=r, mac_pdu=pdu, n_prb=8, prb_start=g * 8,
+                harq_pid=pid, ndi=ndi[(r, pid)],
+                mcs=mcs256 if on256 else None, table_256=on256))
+        for m in range(MIMO_DCIS):
+            # spatial-mux 2-TB grant (format 2A): W_MIMO tracker load
+            txs.append(scenario.DlTx(
+                rnti=mimo_rntis[(j + m) % len(mimo_rntis)], mac_pdu=b"",
+                nof_tb=2, prb_start=96, n_prb=4,
+                harq_pid=(j // 8) % 8))
         placed += sb.add_subframe(sf, txs, strict=False,
                                   with_pbch_sfn=j // 10 if sf == 0 else None)
     return sb.stream(), placed
@@ -97,8 +125,9 @@ def build_stream_packed(cell):
             stream[:N_SF * cell.sf_len].reshape(N_SF, 1, cell.sf_len))
         return dict(words=words, scales=scales,
                     placed=np.int64(placed))
-    z = _scenario_cache("dl", (N_SF, N_RNTI, GRANTS, cell.n_id_cell,
-                               cell.n_prb, cell.nof_ports), _build)
+    z = _scenario_cache("dl", (N_SF, N_RNTI, GRANTS, MIMO_DCIS,
+                               cell.n_id_cell, cell.n_prb,
+                               cell.nof_ports), _build)
     return (z["words"], z["scales"]), int(z["placed"])
 
 

@@ -30,6 +30,13 @@ class DlTx:
     rv: int = 0
     L: Optional[int] = None      # aggregation exponent; auto if None
     ncce: Optional[int] = None
+    # encode with the 256QAM-table interpretation of `mcs` (requires an
+    # explicit mcs): the sniffer must dual-table-trial and learn
+    table_256: bool = False
+    # 2: emit a format 2A two-codeword DCI instead (spatial mux; on a
+    # 1-RX receiver this is undecodable and exercises the reference's
+    # W_MIMO counting path, `MCSTracking.cc:98-110`).  mac_pdu unused.
+    nof_tb: int = 1
 
 
 def _fit_mcs(pdu_len_bits: int, n_prb: int) -> Tuple[int, int]:
@@ -71,10 +78,16 @@ class ScenarioBuilder:
         for t in dl_txs:
             pdu_bits = len(t.mac_pdu) * 8
             mcs = t.mcs
-            if mcs is None:
+            if t.nof_tb == 2:
+                if mcs is None:
+                    mcs = 9
+                tbs = 0          # spatial mux: no decodable PDSCH at 1 RX
+            elif mcs is None:
                 mcs, tbs = _fit_mcs(pdu_bits, t.n_prb)
             else:
-                qm, itbs = tables.dl_mcs_to_qm_itbs(mcs)
+                qm, itbs = tables.dl_mcs_to_qm_itbs(mcs, t.table_256)
+                if itbs < 0:
+                    raise ValueError(f"mcs {mcs} has no TBS in this table")
                 tbs = tables.tbs_lookup(itbs, t.n_prb)
             # place the DCI
             L, ncce = t.L, t.ncce
@@ -99,6 +112,24 @@ class ScenarioBuilder:
                     continue
             else:
                 used_cce.update(range(ncce, ncce + (1 << L)))
+            if t.nof_tb == 2:
+                # format 2A two-codeword grant: RBG bitmap over the
+                # allocation span (rounded to whole RBGs)
+                P = tables.rbg_size(cell.n_prb)
+                n_rbg = -(-cell.n_prb // P)
+                r0 = t.prb_start // P
+                r1 = -(-(t.prb_start + t.n_prb) // P)
+                bitmap = 0
+                for rbg in range(r0, min(r1, n_rbg)):
+                    bitmap |= 1 << (n_rbg - 1 - rbg)
+                fields = dict(bitmap=bitmap, tpc=0, harq_pid=t.harq_pid,
+                              tb_swap=0, mcs=mcs, ndi=t.ndi, rv=t.rv,
+                              mcs2=mcs, ndi2=t.ndi, rv2=t.rv)
+                if cell.n_prb > 10:
+                    fields["ra_header"] = 0
+                d = dci_mod.Dci(fmt="2A", rnti=t.rnti, fields=fields)
+                tx_dcis.append(encoder.TxDci(dci=d, L=L, ncce=ncce))
+                continue                 # no PDSCH encoded (W_MIMO path)
             riv = ra.start_len_to_riv(t.prb_start, t.n_prb, cell.n_prb)
             d = dci_mod.Dci(fmt="1A", rnti=t.rnti, fields=dict(
                 flag0_1a=1, vrb_flag=0, riv=riv, mcs=mcs,
@@ -110,7 +141,7 @@ class ScenarioBuilder:
             pdu_bits_arr = np.unpackbits(
                 np.frombuffer(t.mac_pdu, dtype=np.uint8))
             tb[:len(pdu_bits_arr)] = pdu_bits_arr
-            qm, _ = tables.dl_mcs_to_qm_itbs(mcs)
+            qm, _ = tables.dl_mcs_to_qm_itbs(mcs, t.table_256)
             mask = np.zeros(cell.n_prb, dtype=bool)
             mask[t.prb_start:t.prb_start + t.n_prb] = True
             pdsch_jobs.append((t.rnti, mask, qm, tb, t.rv))
@@ -125,7 +156,9 @@ class ScenarioBuilder:
                               rv=rv)
         rxg = encoder.apply_channel(g, self.h, self.noise, self.rng)
         self.subframes.append(encoder.subframe_iq(cell, rxg)[0])
-        return len(tx_dcis)
+        # placed count = DECODABLE transport blocks (2-TB spatial-mux
+        # DCIs on a 1-RX scenario emit a DCI but no recoverable PDSCH)
+        return len(pdsch_jobs)
 
     def _nof_cce(self):
         from ltesniffer_tpu.phy import grid as grid_mod
