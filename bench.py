@@ -338,10 +338,43 @@ def main():
     print(f"[bench] parallel warmup + scenario: "
           f"{time.perf_counter() - t_w:.1f}s", file=sys.stderr)
 
-    # pass 1: compile + warm everything (HARQ/MCS state builds here too)
+    # pass 1: compile + warm everything (HARQ/MCS state builds here too);
+    # compile events are counted so cold-start work targets the real
+    # program-variant population
+    import logging
+    import re as re_mod
+
+    class _CompileLog(logging.Handler):
+        def __init__(self):
+            super().__init__()
+            self.events = []
+
+        def emit(self, rec):
+            m = re_mod.search(r"Finished XLA compilation of (\S+) in "
+                              r"([0-9.]+) sec", rec.getMessage())
+            if m:
+                self.events.append((m.group(1), float(m.group(2))))
+
+    import jax
+    jax.config.update("jax_log_compiles", True)
+    clog = _CompileLog()
+    logging.getLogger("jax").addHandler(clog)
     dt_cold, s1 = run_e2e(cell, stream, packed)
+    jax.config.update("jax_log_compiles", False)
+    logging.getLogger("jax").removeHandler(clog)
+    from collections import Counter
+    by_name = Counter()
+    t_by_name = Counter()
+    for name, t in clog.events:
+        by_name[name] += 1
+        t_by_name[name] += t
     print(f"[bench] cold pass: {dt_cold:.1f}s, {s1['dcis']} DCIs, "
-          f"{s1['pdsch_ok']} PDSCH ok", file=sys.stderr)
+          f"{s1['pdsch_ok']} PDSCH ok; {len(clog.events)} XLA compiles "
+          f"({sum(t for _, t in clog.events):.0f}s compile time)",
+          file=sys.stderr)
+    for name, n in by_name.most_common(12):
+        print(f"[bench]   compile x{n:<3d} {t_by_name[name]:6.1f}s  {name}",
+              file=sys.stderr)
     # timed passes on fresh cores (fresh tracker state, warm kernels);
     # best-of-N because the shared tunnel's throughput swings ~2x
     from ltesniffer_tpu.sniffer import prof

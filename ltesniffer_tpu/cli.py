@@ -72,6 +72,17 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     import os
+    # persistent XLA compilation cache: a warm cache turns the first
+    # pipeline dispatch from minutes of remote compiles into sub-minute
+    # cache loads — the shipped cache directory is the "AOT artifact"
+    # (JAX_COMPILATION_CACHE_DIR overrides; jax.config is updated
+    # directly because jax may already be imported with env defaults)
+    if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+        import jax
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "ltesniffer_tpu", "jax_cache"))
     import numpy as np
     from ltesniffer_tpu.io import iq as iq_mod
     from ltesniffer_tpu.phy.params import CellConfig
