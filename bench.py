@@ -38,6 +38,7 @@ MIMO_DCIS = int(os.environ.get("BENCH_MIMO_DCIS", "1"))
 BATCH = int(os.environ.get("BENCH_BATCH", "256"))
 UL_SF = int(os.environ.get("BENCH_UL_SF", "1024"))
 UL_GRANTS = int(os.environ.get("BENCH_UL_GRANTS", "8"))
+TURBO_ITERS = int(os.environ.get("BENCH_TURBO_ITERS", "2"))
 
 # synthesized-scenario disk cache: scenario encode is sample GENERATION
 # (tens of seconds of host numpy at 2048 sf), not sniffer work; bump
@@ -139,7 +140,8 @@ def run_e2e(cell, stream, packed=None):
     counter, which starts at the radio's own sample format,
     `LTESniffer_Core.cc:463-472`)."""
     from ltesniffer_tpu.sniffer import core
-    cfg = core.SnifferConfig(cell=cell, batch_size=BATCH)
+    cfg = core.SnifferConfig(cell=cell, batch_size=BATCH,
+                             turbo_iters=TURBO_ITERS)
     c = core.LTESnifferCore(cfg)
     t0 = time.perf_counter()
     if packed is not None:
