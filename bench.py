@@ -360,10 +360,14 @@ def main():
     import jax
     jax.config.update("jax_log_compiles", True)
     clog = _CompileLog()
-    logging.getLogger("jax").addHandler(clog)
-    dt_cold, s1 = run_e2e(cell, stream, packed)
+    jlog = logging.getLogger("jax")
+    jlog.addHandler(clog)
+    was_propagate = jlog.propagate
+    jlog.propagate = False      # capture silently: the event stream is
+    dt_cold, s1 = run_e2e(cell, stream, packed)   # thousands of lines
     jax.config.update("jax_log_compiles", False)
-    logging.getLogger("jax").removeHandler(clog)
+    jlog.removeHandler(clog)
+    jlog.propagate = was_propagate
     from collections import Counter
     by_name = Counter()
     t_by_name = Counter()

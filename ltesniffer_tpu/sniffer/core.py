@@ -541,21 +541,22 @@ class LTESnifferCore:
                             fe["scalars"])
                 chunks.append((out_c["cand_fused"], 0))
             else:
+                # chunk slicing happens INSIDE the program (traced start)
+                run_chunk = st["run_chunk"]
+                sf_dev = jnp.asarray(sf_idx)
                 a = 0
                 while a < B:
                     skip = 0
                     if a + CH > B:
-                        # overlap the tail chunk backward: static slice
-                        # shapes keep one compiled program; the host drops
-                        # the re-decoded head rows
+                        # overlap the tail chunk backward: the traced
+                        # start keeps one compiled program; the host
+                        # drops the re-decoded head rows
                         skip = CH - (B - a)
                         a = B - CH
-                    out_c = run(fe["grids"][a:a + CH], fe["h"][a:a + CH],
-                                fe["noise_var"][a:a + CH],
-                                fe["snr_db"][a:a + CH],
-                                jnp.asarray(sf_idx[a:a + CH]),
-                                cfi_dev[a:a + CH],
-                                fe["scalars"][a:a + CH])
+                    out_c = run_chunk(CH, fe["grids"], fe["h"],
+                                      fe["noise_var"], fe["snr_db"],
+                                      sf_dev, cfi_dev, fe["scalars"],
+                                      np.int32(a))
                     chunks.append((out_c["cand_fused"], skip))
                     a += CH
         ctx["outs"] = {"_st": st, "_chunks": chunks}

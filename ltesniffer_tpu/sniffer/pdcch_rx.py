@@ -281,8 +281,21 @@ def _build_unified(cell: CellConfig):
                                scalars=scalars)
         return out
 
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def run_chunk(CH, grids, h, noise_var, snr_db, sf_idx, cfi_idx,
+                  scalars, start):
+        """Chunked variant: slice the batch INSIDE the program (traced
+        start, static CH) — host-side `fe[...][a:a+CH]` slicing compiled
+        one standalone dynamic_slice program per array per shape and paid
+        a dispatch each; here the whole chunk is one call."""
+        def sl(x):
+            return jax.lax.dynamic_slice_in_dim(x, start, CH, axis=0)
+        return run_from_grids(sl(grids), sl(h), sl(noise_var), sl(snr_db),
+                              sl(sf_idx), sl(cfi_idx), sl(scalars))
+
     st = dict(st3)
     st["nof_cce_of"] = tuple(nof_cce_of)
+    st["run_chunk"] = run_chunk
     return run_from_grids, st
 
 

@@ -405,12 +405,31 @@ def _eq_demap_prb_fn(cell: CellConfig, qm: int, n_prb: int, cfi: int,
     return run, n_pad
 
 
+_ZEROS_CACHE: Dict[tuple, object] = {}
+
+
+def _zeros_dev(n: int, w: int):
+    z = _ZEROS_CACHE.get((n, w))
+    if z is None:
+        if len(_ZEROS_CACHE) > 64:
+            _ZEROS_CACHE.clear()
+        z = _ZEROS_CACHE[(n, w)] = jnp.zeros((n, w), jnp.float32)
+    return z
+
+
 def _stack_rows(eq_outs: List, Wm: int):
-    """Stack per-group eq/demap outputs into one (T, Wm) rows matrix
-    (zero-padded columns; padded tails are masked out by e_true anyway)."""
+    """Stack per-group eq/demap outputs into one (Tp, Wm) rows matrix
+    (zero-padded columns; padded tails are masked out by e_true anyway).
+    The ROW count is bucketed to a power of two so the downstream
+    finisher programs compile one variant per shape family, not one per
+    exact job population."""
     parts = [o if int(o.shape[1]) == Wm
              else jnp.pad(o, ((0, 0), (0, Wm - int(o.shape[1]))))
              for o in eq_outs]
+    T = sum(int(o.shape[0]) for o in parts)
+    Tp = _pow2(T, 512)
+    if Tp > T:
+        parts.append(_zeros_dev(Tp - T, Wm))
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
 
@@ -457,15 +476,21 @@ def _derm_turbo_static_fn(Wm: int, K: int, F: int, laps: int, rv: int,
     E LLRs over circular-buffer laps -> static rotate by the rv start ->
     static inverse sub-block permutation).  A data-dependent global gather
     here measured ~20x slower on TPU; with static indices XLA emits fast
-    lane shuffles.  The exact E rides as DATA (a mask), so one compiled
-    variant covers every rate in the (K, laps) family.
+    lane shuffles.  The exact E rides as DATA (a mask), and for the
+    common contiguous ("lin") window the per-call bit OFFSET rides as a
+    traced scalar (a dynamic slice into the zero-padded row) — each
+    (program, variant) compiles ONCE per (K, laps, rv, shape) family
+    instead of once per code-block offset (remote compiles cost ~1-5 s
+    each through the tunnel, and a cold pass was paying ~100 of them).
 
     src_key selects the per-row LLR window within its rows-matrix row:
-      ("lin", off)                       contiguous slice at static offset
+      ("lin",)                           contiguous slice; offset traced
       ("uci", m_sc, qm, n_ri, n_ack, n_cqi, off)
                                          UL UCI data-cell map composed in
-    (rows_mat (T, Wm), rows (n,) i32, e_true (n,) i32 [, prior (n,3,K+4)])
-      -> (fused (n, 1+W) u32 [crc_rem | packed bits], d (n, 3, K+4) f32)
+    (rows_mat (T, Wm), rows (n,) i32, e_true (n,) i32, off () i32
+     [, prior (n,3,K+4)])
+      -> (fused (n*(1+W),) u32 flat [crc_rem | packed bits] row blocks,
+          d (n, 3, K+4) f32)
     """
     Kp = K + 4
     Wk = (K + 31) // 32
@@ -473,12 +498,10 @@ def _derm_turbo_static_fn(Wm: int, K: int, F: int, laps: int, rv: int,
     k0 = turbo_mod.rv_start(K, rv)
     s0 = int(np.searchsorted(nonnull_pos, k0)) % L
     EB = laps * L
-    if src_key[0] == "lin":
-        off = src_key[1]
-        SRC = off + np.arange(EB, dtype=np.int64)
-    else:
+    lin = src_key[0] == "lin"
+    if not lin:
         from ltesniffer_tpu.phy import uci as uci_mod
-        _, m_sc, qm, n_ri, n_ack, n_cqi, off = src_key
+        _, m_sc, qm, n_ri, n_ack, n_cqi, off0 = src_key
         _, ack_cells = uci_mod.uci_positions(m_sc, qm, n_ri, n_ack)
         data_cells = uci_mod.data_group_map(m_sc, n_ri)
         cell_src = (data_cells[:, None] * qm
@@ -488,19 +511,24 @@ def _derm_turbo_static_fn(Wm: int, K: int, F: int, laps: int, rv: int,
         cell_src[ack[data_cells]] = -1       # ACK punctures read zero
         rel = cell_src[n_cqi:].reshape(-1)
         SRC = np.full(EB, -1, np.int64)
-        n_av = max(0, min(EB, len(rel) - off))
-        SRC[:n_av] = rel[off:off + n_av]
-    SRC_OK = (SRC >= 0) & (SRC < Wm)
-    SRCc = np.where(SRC_OK, SRC, 0).astype(np.int32)
+        n_av = max(0, min(EB, len(rel) - off0))
+        SRC[:n_av] = rel[off0:off0 + n_av]
+        SRC_OK = (SRC >= 0) & (SRC < Wm)
+        SRCc = np.where(SRC_OK, SRC, 0).astype(np.int32)
     dec = kturbo.make_decoder(K, n_iter)
     w32 = (1 << np.arange(32, dtype=np.int64)).astype(np.uint32)
 
-    def body(rows_mat, rows, e_true, prior):
+    def body(rows_mat, rows, e_true, off, prior):
         n = n_rows
         win = jnp.take(rows_mat, rows, axis=0)            # (n, Wm)
-        x = jnp.take(win, jnp.asarray(SRCc), axis=1)      # (n, EB)
-        ok = (jnp.asarray(SRC_OK)[None, :]
-              & (jnp.arange(EB)[None, :] < e_true[:, None]))
+        if lin:
+            winp = jnp.pad(win, ((0, 0), (0, EB)))
+            x = jax.lax.dynamic_slice_in_dim(winp, off, EB, axis=1)
+            ok = jnp.arange(EB)[None, :] < e_true[:, None]
+        else:
+            x = jnp.take(win, jnp.asarray(SRCc), axis=1)  # (n, EB)
+            ok = (jnp.asarray(SRC_OK)[None, :]
+                  & (jnp.arange(EB)[None, :] < e_true[:, None]))
         x = jnp.where(ok, x, 0.0)
         f = x.reshape(n, laps, L).sum(axis=1) if laps > 1 else x
         acc = jnp.roll(f, s0, axis=1)
@@ -517,11 +545,11 @@ def _derm_turbo_static_fn(Wm: int, K: int, F: int, laps: int, rv: int,
         packed = jnp.sum(pad.reshape(n, Wk, 32).astype(jnp.uint32)
                          * w32, axis=-1, dtype=jnp.uint32)
         fused = jnp.concatenate([remsum[:, None], packed], axis=1)
-        return fused, d
+        return fused.reshape(-1), d
 
     if with_prior:
-        return jax.jit(lambda rm, r, e, pr: body(rm, r, e, pr))
-    return jax.jit(lambda rm, r, e: body(rm, r, e, None))
+        return jax.jit(lambda rm, r, e, o, pr: body(rm, r, e, o, pr))
+    return jax.jit(lambda rm, r, e, o: body(rm, r, e, o, None))
 
 
 @functools.lru_cache(maxsize=64)
@@ -557,7 +585,7 @@ class PendingPdschBatch:
     jobs: List[GrantJob]
     results: List[Optional[PdschResult]]
     seg_of: Dict[int, object]
-    group_rows: list          # [(K, Wk, [(ji, ci, F), ...]), ...] row order
+    group_rows: list          # [(K, Wk, n_b, [(ji, ci, F), ...]), ...]
     fused_dev: object         # flat u32 device array: per-group (n, 1+Wk)
                               # row blocks concatenated (no pad-to-widest)
     n_re_of: Dict[int, int] = dataclasses.field(default_factory=dict)
@@ -635,7 +663,7 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
             out = fn(Xg, Xh, noise_var, jnp.asarray(bidx),
                      jnp.asarray(prbi), jnp.asarray(cinit),
                      jnp.asarray(pa))
-        eq_outs.append(out.reshape(G_pad, n_pad * qm))
+        eq_outs.append(out)      # already (G_pad, n_pad*qm)
         row_acc += G_pad
     for (qm, n_pad), jis in groups.items():
         G = len(jis)
@@ -670,7 +698,7 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
             out = fn(gflat, hflat, noise_var, jnp.asarray(bidx),
                      jnp.asarray(u_idx), re_tab, jnp.asarray(cinit),
                      jnp.asarray(pa))
-        eq_outs.append(out.reshape(G_pad, n_pad * qm))
+        eq_outs.append(out)      # already (G_pad, n_pad*qm)
         row_acc += G_pad
     n_re_of = {ji: len(meta[ji]) for ji in range(len(jobs))
                if results[ji] is None}
@@ -751,8 +779,10 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
             rounds[d_].append(r)
 
         for rnd in rounds:
-            # sub-group by (prior-class, F, laps, rv, off): the finisher's
-            # de-rate-match tables are compile-time constants keyed on these
+            # sub-group by (prior-class, F, laps, rv, off): calls batch
+            # rows sharing these, but the compiled program is keyed only
+            # on (prior-class, F, laps, rv, shape) — the bit offset rides
+            # as a traced scalar
             subs: Dict[tuple, list] = {}
             for r in rnd:
                 skey = (id(r) in prior_src, r[2],
@@ -775,22 +805,27 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
                                       else soft_buffers[ref])
                 prof.add("pd_pos_build", prof.time.perf_counter() - _t2)
                 fn = _derm_turbo_static_fn(Wm, K, F, laps, rv, n_b,
-                                           has_prior, n_iter, ("lin", off))
+                                           has_prior, n_iter, ("lin",))
                 with prof.span("pd_turbo_call"):
                     if has_prior:
                         while len(priors) < n_b:
                             priors.append(np.zeros((3, K + 4), np.float32))
                         prior = _gather_lazy_rows(priors)
                         fused, d = fn(rows_mat, jnp.asarray(rows_idx),
-                                      jnp.asarray(e_true), prior)
+                                      jnp.asarray(e_true), np.int32(off),
+                                      prior)
                     else:
                         fused, d = fn(rows_mat, jnp.asarray(rows_idx),
-                                      jnp.asarray(e_true))
+                                      jnp.asarray(e_true), np.int32(off))
                 for r_i, (ji, ci_, _F, E, _off, _rv, key_ci, _rt) \
                         in enumerate(sub):
                     d_of[(ji, ci_)] = LazyRow(d, r_i)
-                fused_parts.append(fused[:len(sub)].reshape(-1))
-                group_rows.append((K, Wk, [(r[0], r[1], r[2]) for r in sub]))
+                # fused is the FULL padded row block (flat): the host
+                # skips the pad rows at read time — slicing on device
+                # compiled one tiny program per exact population
+                fused_parts.append(fused)
+                group_rows.append((K, Wk, n_b,
+                                   [(r[0], r[1], r[2]) for r in sub]))
         for key, jici in occ_prev.items():
             last = last_occ.get(key)
             if last is None or jici[0] >= last[0]:
@@ -836,11 +871,11 @@ def finish_grants_batch(pb: PendingPdschBatch,
     rem_of: Dict[Tuple[int, int], int] = {}
     shifts = np.arange(32, dtype=np.uint32)
     r0 = 0
-    for K, Wk, rows in pb.group_rows:
+    for K, Wk, n_b, rows in pb.group_rows:
         n = len(rows)
         w = 1 + Wk
-        sub = host[r0:r0 + n * w].reshape(n, w)
-        r0 += n * w
+        sub = host[r0:r0 + n_b * w].reshape(n_b, w)[:n]
+        r0 += n_b * w
         packed = sub[:, 1:1 + Wk]
         bits = ((packed[:, :, None] >> shifts) & 1).astype(np.uint8)
         bits = bits.reshape(n, Wk * 32)[:, :K]

@@ -310,7 +310,7 @@ class PendingUlBatch:
     jobs: list
     results: list                      # pre-filled for degenerate jobs
     seg_of: Dict[int, object]
-    group_rows: list                   # [(K, Wk, [(ji, ci)...]), ...]
+    group_rows: list                   # [(K, Wk, n_b, [(ji, ci)...])]
     fused_dev: object                  # flat u32 (per-group (n,1+Wk) blocks)
     scalars_dev: object                # (n_jobs, 2) f32 [snr_db, ta_us]
     scalar_row: Dict[int, int]
@@ -369,7 +369,7 @@ def dispatch_grants_ul_batch(ul_grids, cell: CellConfig,
                                     jnp.asarray(k0),
                                     jnp.asarray(cplx.to_ri(dmrs)),
                                     jnp.asarray(cinit))
-        eq_outs.append(llr.reshape(n_pad, 12 * m_sc * qm))
+        eq_outs.append(llr)      # already (n_pad, 12*m_sc*qm)
         scalar_parts.append(jnp.stack([snr_db, ta_us], axis=-1))
         row_acc += n_pad
         n_scal += n_pad
@@ -398,40 +398,44 @@ def dispatch_grants_ul_batch(ul_grids, cell: CellConfig,
             for ci_, (K, E) in enumerate(zip(seg.K, es)):
                 F = seg.F if ci_ == 0 else 0
                 if any(uci):
+                    # UCI data-cell maps are inherently static (rare UL
+                    # shapes); the common contiguous case traces the
+                    # offset so one program serves every code block
                     src_key = ("uci", m_sc, qm, j.n_ri_syms, j.n_ack_syms,
                                j.n_cqi_syms, off)
                 else:
-                    src_key = ("lin", off)
+                    src_key = ("lin",)
                 by_k.setdefault(K, []).append(
-                    (ji, ci_, F, E, j.rv, src_key))
+                    (ji, ci_, F, E, j.rv, src_key, off))
                 off += E
 
     group_rows = []
-    fused_parts = []           # flat 1-D segments (no pad-to-widest)
+    fused_parts = []           # flat 1-D full-row blocks per sub-group
     d_of: Dict[Tuple[int, int], LazyRow] = {}
     for K, rows in sorted(by_k.items()):
         Wk = (K + 31) // 32
-        # sub-group by the finisher's static shape key (F, laps, rv, src)
+        # sub-group by (F, laps, rv, src, off): calls batch rows sharing
+        # these; the compiled program is keyed without the lin offset
         subs: Dict[tuple, list] = {}
         for r in rows:
-            subs.setdefault((r[2], _derm_laps(K, r[2], r[3]), r[4], r[5]),
-                            []).append(r)
-        for (F, laps, rv, src_key), sub in sorted(subs.items()):
+            subs.setdefault((r[2], _derm_laps(K, r[2], r[3]), r[4], r[5],
+                             r[6]), []).append(r)
+        for (F, laps, rv, src_key, off), sub in sorted(subs.items()):
             n_b = _pow2(len(sub), 32)
             rows_idx = np.zeros(n_b, np.int32)
             e_true = np.zeros(n_b, np.int32)
-            for r_i, (ji, ci_, _F, E, _rv, _sk) in enumerate(sub):
+            for r_i, (ji, ci_, _F, E, _rv, _sk, _o) in enumerate(sub):
                 rows_idx[r_i] = row_of[ji]
                 e_true[r_i] = E
             fn = _derm_turbo_static_fn(Wm, K, F, laps, rv, n_b, False,
                                        n_iter, src_key)
             with prof.span("pu_turbo_call"):
                 fused, d = fn(rows_mat, jnp.asarray(rows_idx),
-                              jnp.asarray(e_true))
-            for r_i, (ji, ci_, _F, _E, _rv, _sk) in enumerate(sub):
+                              jnp.asarray(e_true), np.int32(off))
+            for r_i, (ji, ci_, _F, _E, _rv, _sk, _o) in enumerate(sub):
                 d_of[(ji, ci_)] = LazyRow(d, r_i)
-            fused_parts.append(fused[:len(sub)].reshape(-1))
-            group_rows.append((K, Wk, [(r[0], r[1]) for r in sub]))
+            fused_parts.append(fused)
+            group_rows.append((K, Wk, n_b, [(r[0], r[1]) for r in sub]))
     fused_dev = (jnp.concatenate(fused_parts) if len(fused_parts) > 1
                  else fused_parts[0]) if fused_parts else None
     pb = PendingUlBatch(jobs, results, seg_of, group_rows, fused_dev,
@@ -473,11 +477,11 @@ def finish_grants_ul_batch(pb: PendingUlBatch, n_iter_esc: int = 0):
     rem_of: Dict[Tuple[int, int], int] = {}
     shifts = np.arange(32, dtype=np.uint32)
     r0 = 0
-    for K, Wk, rows in pb.group_rows:
+    for K, Wk, n_b, rows in pb.group_rows:
         n = len(rows)
         w = 1 + Wk
-        sub = host[r0:r0 + n * w].reshape(n, w)
-        r0 += n * w
+        sub = host[r0:r0 + n_b * w].reshape(n_b, w)[:n]
+        r0 += n_b * w
         packed = sub[:, 1:1 + Wk]
         bits = ((packed[:, :, None] >> shifts) & 1).astype(np.uint8)
         bits = bits.reshape(n, Wk * 32)[:, :K]
