@@ -275,7 +275,7 @@ def _re_tab_device(cell: CellConfig, n_pad: int, combos: tuple):
     key = (cell, n_pad, combos)
     tab = _RE_TAB_CACHE.get(key)
     if tab is None:
-        U_pad = _pow2(len(combos), 1)
+        U_pad = _pow2(len(combos), 8)
         arr = np.zeros((U_pad, n_pad), np.int32)
         for u, (sf_idx, cfi, mb, s1b) in enumerate(combos):
             mask = np.frombuffer(mb, dtype=bool)
@@ -646,7 +646,9 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
         fn, n_pad = _eq_demap_prb_fn(cell, qm, n_prb, cfi,
                                      cell.nof_ports)
         G = len(jis)
-        G_pad = _pow2(G, 64)
+        # floor 256: fewer compiled shape rungs (each remote compile
+        # costs seconds; padded-row eq compute costs microseconds)
+        G_pad = _pow2(G, 256)
         bidx = np.zeros(G_pad, np.int32)
         prbi = np.zeros((G_pad, n_prb), np.int32)
         cinit = np.zeros(G_pad, np.uint32)
@@ -667,9 +669,10 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
         row_acc += G_pad
     for (qm, n_pad), jis in groups.items():
         G = len(jis)
-        # pad the grant count to a power of two: bounds the number of
-        # compiled (G, n_pad, qm) shape variants under varying cell load
-        G_pad = _pow2(G, 64)
+        # pad the grant count to a power of two (floor 256): bounds the
+        # number of compiled (G, n_pad, qm) shape variants under varying
+        # cell load
+        G_pad = _pow2(G, 256)
         bidx = np.zeros(G_pad, np.int32)
         bidx[:G] = [jobs[ji].b for ji in jis]
         u_idx = np.zeros(G_pad, np.int32)
@@ -790,7 +793,7 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
                 subs.setdefault(skey, []).append(r)
             for (has_prior, F, laps, rv, off), sub in sorted(
                     subs.items(), key=lambda kv: kv[0][1:]):
-                n_b = _pow2(len(sub), 64)
+                n_b = _pow2(len(sub), 256)
                 _t2 = prof.time.perf_counter()
                 rows_idx = np.zeros(n_b, np.int32)
                 e_true = np.zeros(n_b, np.int32)
@@ -990,7 +993,7 @@ def escalate_dispatch(pb: PendingPdschBatch, esc_idx: List[int],
                 by_k.setdefault(K, []).append((ji, ci_, ref))
     pend = []
     for K, rows in sorted(by_k.items()):
-        n_b = _pow2(len(rows), 64)
+        n_b = _pow2(len(rows), 256)
         d = _gather_lazy_rows([r[2] for r in rows])
         if n_b > d.shape[0]:
             d = jnp.pad(d, ((0, n_b - d.shape[0]), (0, 0), (0, 0)))

@@ -346,7 +346,7 @@ def dispatch_grants_ul_batch(ul_grids, cell: CellConfig,
     n_scal = 0
     for (n_prb, qm), jis in sorted(groups.items()):
         m_sc = 12 * n_prb
-        n_pad = _pow2(len(jis), 8)
+        n_pad = _pow2(len(jis), 64)
         bidx = np.zeros(n_pad, np.int32)
         k0 = np.zeros(n_pad, np.int32)
         cinit = np.zeros(n_pad, np.uint32)
@@ -421,7 +421,7 @@ def dispatch_grants_ul_batch(ul_grids, cell: CellConfig,
             subs.setdefault((r[2], _derm_laps(K, r[2], r[3]), r[4], r[5],
                              r[6]), []).append(r)
         for (F, laps, rv, src_key, off), sub in sorted(subs.items()):
-            n_b = _pow2(len(sub), 32)
+            n_b = _pow2(len(sub), 128)
             rows_idx = np.zeros(n_b, np.int32)
             e_true = np.zeros(n_b, np.int32)
             for r_i, (ji, ci_, _F, E, _rv, _sk, _o) in enumerate(sub):
@@ -536,7 +536,7 @@ def finish_grants_ul_batch(pb: PendingUlBatch, n_iter_esc: int = 0):
         if by_k:
             with prof.span("pu_escalate"):
                 for K, rows in sorted(by_k.items()):
-                    n_b = _pow2(len(rows), 32)
+                    n_b = _pow2(len(rows), 128)
                     d = _gather_lazy_rows([r[2] for r in rows])
                     if n_b > d.shape[0]:
                         d = jnp.pad(d, ((0, n_b - d.shape[0]),
