@@ -390,16 +390,21 @@ class LTESnifferCore:
                                       scale=blk_scale, quant=quant))
             depth = max(1, self.cfg.pipeline_depth)
             if depth >= 3:
-                # deep 5-phase pipeline (2+ batches of device work queued)
-                if len(q) >= 2:
-                    self._phase2(q[-2])
-                # finalize(k) must run before build(k+1): trackers
+                # deep 5-phase pipeline (2+ batches of device work
+                # queued).  Phase ORDER within the iteration matters on
+                # the in-order device queue: phase4's escalation/retry
+                # dispatches land BEFORE this iteration's search dispatch
+                # (phase2), so next iteration's phase5 join waits only on
+                # a sliver of compute instead of draining a whole batch.
+                # finalize(k) must still run before build(k+1): trackers
                 # (HARQ/MCS) that batch k's results update gate batch
-                # k+1's decisions — phase5(k-4) precedes phase3(k-2)
+                # k+1's decisions — phase5(k-4) precedes phase3(k-2).
                 if len(q) >= 5:
                     self._phase5(q.popleft())
                 if len(q) >= 4:
                     self._phase4(q[-4])
+                if len(q) >= 2:
+                    self._phase2(q[-2])
                 if len(q) >= 3:
                     self._phase3(q[-3])
             elif depth == 2:
@@ -1626,12 +1631,16 @@ class LTESnifferCoreUL(LTESnifferCore):
                                 kp, total)
                 self._put_chunk(ul_chunks, ul64, ul_packed[1], sf_idx,
                                 kp, total)
+            # phase5/phase4 run BEFORE this batch's device dispatches so
+            # the escalation work they launch sits ahead of the new
+            # batch's search in the in-order device queue (see the DL
+            # driver's ordering note)
+            if len(q) >= 3:
+                self._phase5(q.popleft()[0])
+            if len(q) >= 2:
+                self._phase4(q[-2][0])
             q.append(self._dispatch_dual(dl_chunks.pop(kk),
                                          ul_chunks.pop(kk), a))
-            if len(q) >= 4:
-                self._phase5(q.popleft()[0])
-            if len(q) >= 3:
-                self._phase4(q[-3][0])
             if len(q) >= 2:
                 self._dual_phase3(q[-2], ul_packed)
         while q:
