@@ -46,6 +46,62 @@ def decode_pinfo_2tx(pinfo: int, two_tb: bool):
     return 1, pinfo - 1
 
 
+# ---------------------------------------------------------------------------
+# 4 TX ports (36.211 6.3.4.2.3): householder codebook W_n = I - 2 u_n u_n^H
+# / (u_n^H u_n), Table 6.3.4.2.3-2.  The RANK-2 subset is implemented (a
+# 2-RX sniffer can separate at most 2 layers — the deployed common case;
+# rank-3/4 grants are reported as unsupported MIMO config, the reference's
+# W_MIMO path).
+# ---------------------------------------------------------------------------
+_SQ2 = 1.0 / np.sqrt(2.0)
+_U4 = np.array([
+    [1, -1, -1, -1],
+    [1, -1j, 1, 1j],
+    [1, 1, -1, 1],
+    [1, 1j, 1, -1j],
+    [1, (-1 - 1j) * _SQ2, -1j, (1 - 1j) * _SQ2],
+    [1, (1 - 1j) * _SQ2, 1j, (-1 - 1j) * _SQ2],
+    [1, (1 + 1j) * _SQ2, -1j, (-1 + 1j) * _SQ2],
+    [1, (-1 + 1j) * _SQ2, 1j, (1 + 1j) * _SQ2],
+    [1, -1, 1, 1],
+    [1, -1j, -1, -1j],
+    [1, 1, 1, -1],
+    [1, 1j, -1, 1j],
+    [1, -1, -1, 1],
+    [1, -1, 1, -1],
+    [1, 1, -1, -1],
+    [1, 1, 1, 1],
+], dtype=np.complex64)
+# 2-layer column selections (1-based in the spec; 0-based here)
+_COLS2_4TX = [(0, 3), (0, 1), (0, 1), (0, 1), (0, 3), (0, 3), (0, 2),
+              (0, 2), (0, 1), (0, 3), (0, 2), (0, 2), (0, 1), (0, 2),
+              (0, 2), (0, 1)]
+
+
+def pmi_matrix_2layer_4tx(pmi: int) -> np.ndarray:
+    """(4 ports, 2 layers) precoder for codebook index pmi."""
+    u = _U4[pmi][:, None]
+    w = np.eye(4, dtype=np.complex64) - 2.0 * (u @ u.conj().T) / float(
+        np.real(u.conj().T @ u)[0, 0])
+    return (w[:, list(_COLS2_4TX[pmi])] / np.sqrt(2.0)).astype(np.complex64)
+
+
+def decode_pinfo_4tx(pinfo: int, two_tb: bool):
+    """DCI format 2 precoding info, 4 TX ports (36.212 Table 5.3.3.1.5-5).
+
+    Returns (n_layers, tpmi) — n_layers > 2 marks configurations beyond
+    the rank-2 receiver (caller counts them as wrong-MIMO)."""
+    if two_tb:
+        if pinfo < 16:
+            return 2, pinfo
+        if pinfo < 33:            # 17..32: 3 layers (16 = reserved-ish)
+            return 3, max(0, pinfo - 17)
+        return 4, max(0, pinfo - 33)
+    if pinfo == 0:
+        return 0, None            # transmit diversity
+    return 1, pinfo - 1
+
+
 def _apply_const_matrix(h, w: np.ndarray):
     """h (B, RX, P, M, 2) x constant complex W (P, L) -> (B, RX, L, M, 2)."""
     wr = jnp.asarray(np.real(w).astype(np.float32))
@@ -57,23 +113,45 @@ def _apply_const_matrix(h, w: np.ndarray):
 
 
 def effective_channel_tm4(h, pmi: int, n_layers: int):
-    """h: (B, RX, 2, M, 2) port channels -> (B, RX, L, M, 2) layer channels."""
+    """h: (B, RX, P, M, 2) port channels -> (B, RX, L, M, 2) layer
+    channels (P = 2 or 4 TX ports; 4-port path is the rank-2 subset)."""
+    if h.shape[2] == 4:
+        return _apply_const_matrix(h, pmi_matrix_2layer_4tx(pmi))
     if n_layers == 1:
         w = pmi_matrix_1layer(pmi)[:, None]      # (2 ports, 1 layer)
         return _apply_const_matrix(h, w)
     return _apply_const_matrix(h, pmi_matrix_2layer(pmi))
 
 
-def effective_channel_tm3(h):
-    """Open-loop CDD effective channel, D(i) = diag(1, (-1)^i) per RE."""
-    M = h.shape[-2]
+def _cdd_2layer_tail(hw, M: int):
+    """Apply D(i) U for 2 layers to per-RE 'virtual port' channels hw
+    (B, RX, 2, M, 2): column l of (D(i) U) = [U[0,l]; U[1,l]*(-1)^i]."""
     sign = jnp.asarray(1.0 - 2.0 * (np.arange(M) % 2), dtype=jnp.float32)
-    # column l of (W D(i) U): W[:,0] U[0,l] + W[:,1] U[1,l] * s_i
-    c0 = _W_CDD @ (np.diag([1.0, 0.0]).astype(np.complex64) @ _U_CDD)
-    c1 = _W_CDD @ (np.diag([0.0, 1.0]).astype(np.complex64) @ _U_CDD)
-    he0 = _apply_const_matrix(h, c0)
-    he1 = _apply_const_matrix(h, c1)
+    c0 = np.diag([1.0, 0.0]).astype(np.complex64) @ _U_CDD
+    c1 = np.diag([0.0, 1.0]).astype(np.complex64) @ _U_CDD
+    he0 = _apply_const_matrix(hw, c0)
+    he1 = _apply_const_matrix(hw, c1)
     return he0 + he1 * sign[None, None, None, :, None]
+
+
+def effective_channel_tm3(h):
+    """Open-loop CDD effective channel (36.211 6.3.4.2.2), 2 layers.
+
+    2 TX ports: W = I/sqrt(2), D(i) = diag(1, (-1)^i).
+    4 TX ports: the precoder CYCLES through codebook indices 12..15
+    (2-layer columns) every 2 REs; the D(i) U tail is identical."""
+    M = h.shape[-2]
+    if h.shape[2] == 4:
+        ks = ((np.arange(M) // 2) % 4)
+        hws = [_apply_const_matrix(h, pmi_matrix_2layer_4tx(12 + k))
+               for k in range(4)]
+        masks = [jnp.asarray((ks == k).astype(np.float32))
+                 for k in range(4)]
+        hw = sum(hw_k * m[None, None, None, :, None]
+                 for hw_k, m in zip(hws, masks))
+        return _cdd_2layer_tail(hw, M)
+    hw = _apply_const_matrix(h, _W_CDD)
+    return _cdd_2layer_tail(hw, M)
 
 
 def mmse_2layer(y, he, noise_var):

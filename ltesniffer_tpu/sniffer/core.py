@@ -1082,9 +1082,12 @@ class LTESnifferCore:
             en0 = not (grant.mcs == 0 and grant.rv == 1)
             en1 = not (grant.mcs2 == 0 and grant.rv2 == 1)
             if en0 and en1:
-                # format 2 pinfo 3+ with 2 codewords is reserved
-                # (36.212 Table 5.3.3.1.5-4) -> inconsistent MIMO config
-                if a.fmt == "2" and grant.precoding > 2:
+                # format 2 pinfo 3+ with 2 codewords is reserved on a
+                # 2-PORT cell (36.212 Table 5.3.3.1.5-4) -> inconsistent
+                # MIMO config (4-port cells use the 6-bit Table
+                # 5.3.3.1.5-5, handled in the MIMO path)
+                if (a.fmt == "2" and self.cell.nof_ports == 2
+                        and grant.precoding > 2):
                     self.mcs.note_wrong_mimo(a.rnti)
                     return
                 if self.cell.nof_rx_ant >= 2:
@@ -1201,9 +1204,24 @@ class LTESnifferCore:
         (`DL_Sniffer_PDSCH.cc:1090-1243`)."""
         from ltesniffer_tpu.kernels import mimo as mimo_mod
         if a.fmt == "2":
-            n_layers, pmi = mimo_mod.decode_pinfo_2tx(grant.precoding, True)
+            if self.cell.nof_ports == 4:
+                n_layers, pmi = mimo_mod.decode_pinfo_4tx(grant.precoding,
+                                                          True)
+                if n_layers > 2:
+                    # rank-3/4 exceeds the 2-RX receiver: unsupported
+                    # MIMO config (reference W_MIMO, `MCSTracking.cc:98`)
+                    self.mcs.note_wrong_mimo(a.rnti)
+                    return
+            else:
+                n_layers, pmi = mimo_mod.decode_pinfo_2tx(grant.precoding,
+                                                          True)
             tm = 4
         else:
+            # format 2A: 4-port cells carry a 2-bit precoding field
+            # (36.212 Table 5.3.3.1.5A-2: 0 -> 2 layers, 1/2 -> rank 3/4)
+            if self.cell.nof_ports == 4 and grant.precoding > 0:
+                self.mcs.note_wrong_mimo(a.rnti)
+                return
             tm, pmi = 3, 0
         known = self.mcs.dl_table_of(a.rnti)
         if known == trackers.McsTable.UNKNOWN:
