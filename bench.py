@@ -24,6 +24,14 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    ".jax_cache"))
+# the machine's sitecustomize imports jax BEFORE this file runs, so the
+# env var alone is ignored (config reads it at jax import) — set the
+# config explicitly, and cache even fast-compiling programs (the remote
+# compile service charges seconds for programs XLA builds in millis)
+import jax  # noqa: E402
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 # N_SF must be several pipeline-depths of batches: at 512/256 the depth-3
 # pipeline never fills and the measured rate is all fill/drain edge.

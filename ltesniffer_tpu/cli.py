@@ -74,15 +74,16 @@ def main(argv=None) -> int:
     import os
     # persistent XLA compilation cache: a warm cache turns the first
     # pipeline dispatch from minutes of remote compiles into sub-minute
-    # cache loads — the shipped cache directory is the "AOT artifact"
-    # (JAX_COMPILATION_CACHE_DIR overrides; jax.config is updated
-    # directly because jax may already be imported with env defaults)
-    if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
-        import jax
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.join(os.path.expanduser("~"), ".cache",
-                         "ltesniffer_tpu", "jax_cache"))
+    # cache loads — the shipped cache directory is the "AOT artifact".
+    # jax.config is updated directly (not just the env var) because jax
+    # may already be imported with env defaults by site hooks.
+    import jax
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        or os.path.join(os.path.expanduser("~"), ".cache",
+                        "ltesniffer_tpu", "jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import numpy as np
     from ltesniffer_tpu.io import iq as iq_mod
     from ltesniffer_tpu.phy.params import CellConfig
