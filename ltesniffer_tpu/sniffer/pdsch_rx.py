@@ -793,7 +793,9 @@ def dispatch_grants_batch(grids, h, noise_var, cell: CellConfig,
                 subs.setdefault(skey, []).append(r)
             for (has_prior, F, laps, rv, off), sub in sorted(
                     subs.items(), key=lambda kv: kv[0][1:]):
-                n_b = _pow2(len(sub), 256)
+                # high-iteration dispatches (the unknown-table retry) pad
+                # to tighter lanes: each padded lane decodes at n_iter
+                n_b = _pow2(len(sub), 256 if n_iter <= 4 else 64)
                 _t2 = prof.time.perf_counter()
                 rows_idx = np.zeros(n_b, np.int32)
                 e_true = np.zeros(n_b, np.int32)
@@ -993,7 +995,9 @@ def escalate_dispatch(pb: PendingPdschBatch, esc_idx: List[int],
                 by_k.setdefault(K, []).append((ji, ci_, ref))
     pend = []
     for K, rows in sorted(by_k.items()):
-        n_b = _pow2(len(rows), 256)
+        # floor 64, NOT 256: escalation runs at the 12-iteration cap, so
+        # padded lanes here cost 6x a primary-pass lane
+        n_b = _pow2(len(rows), 64)
         d = _gather_lazy_rows([r[2] for r in rows])
         if n_b > d.shape[0]:
             d = jnp.pad(d, ((0, n_b - d.shape[0]), (0, 0), (0, 0)))

@@ -536,7 +536,7 @@ def finish_grants_ul_batch(pb: PendingUlBatch, n_iter_esc: int = 0):
         if by_k:
             with prof.span("pu_escalate"):
                 for K, rows in sorted(by_k.items()):
-                    n_b = _pow2(len(rows), 128)
+                    n_b = _pow2(len(rows), 32)
                     d = _gather_lazy_rows([r[2] for r in rows])
                     if n_b > d.shape[0]:
                         d = jnp.pad(d, ((0, n_b - d.shape[0]),
