@@ -395,13 +395,16 @@ def main():
     rates = []
     s2 = None
     stage_tbl = {}
-    for _ in range(6):
+    for _ in range(8):
         prof.reset()
         dt, s2 = run_e2e(cell, stream, packed)
         rates.append(N_SF / dt)
         if N_SF / dt >= max(rates):
             stage_tbl = prof.report()
     e2e_rate = max(rates)
+    print(f"[bench] e2e pass rates: "
+          f"{', '.join(f'{r:.0f}' for r in rates)} sf/s",
+          file=sys.stderr)
     print("[bench] per-stage wall clock of the best pass "
           "(host-observed; device waits land in the readback spans):",
           file=sys.stderr)
