@@ -456,21 +456,6 @@ class LTESnifferCore:
         return dict(fe=fe, sf_idx=np.asarray(sf_idx), B=B,
                     base=base, fbase=fbase, stage=1)
 
-    def _phase1_dev(self, dev_stream, dev_scale, a: int,
-                    sf_idx: np.ndarray) -> dict:
-        """Dispatch the frontend on a device-resident stream slice (no
-        per-batch H2D; start index and subframe phase ride as scalars)."""
-        B = len(sf_idx)
-        with prof.span("p1_frontend"):
-            fe = self.frontend.jitted_i8_at(
-                dev_stream, dev_scale, B, np.int32(a),
-                np.int32(int(sf_idx[0])), np.float32(self.est_cfo))
-        base = self._sf_dispatched
-        self._sf_dispatched += B
-        fbase = self._seg_sf0 + (base - self._seg_base)
-        return dict(fe=fe, sf_idx=np.asarray(sf_idx), B=B,
-                    base=base, fbase=fbase, stage=1)
-
     def _phase1(self, frames: np.ndarray, sf_idx: np.ndarray,
                 scale=None, quant: str = "i16") -> dict:
         """Dispatch frontend (OFDM+chest+PCFICH); start the scalar D2H."""

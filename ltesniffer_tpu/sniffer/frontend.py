@@ -126,21 +126,6 @@ def make_frontend(cell: CellConfig):
         return _run_i8c64_mats(chunk64, jnp.asarray(sf_idx), scales,
                                cfo, dft)
 
-    @functools.partial(jax.jit, static_argnums=(2,))
-    def _run_i8_at_mats(stream_p32, scales, B, start, sf0, cfo, mats):
-        p = jax.lax.dynamic_slice_in_dim(stream_p32, start, B, axis=0)
-        sc = jax.lax.dynamic_slice_in_dim(scales, start, B, axis=0)
-        sf_idx = (sf0 + jnp.arange(B, dtype=jnp.int32)) % 10
-        return run_ri_mats(_unpack_i8(p, sc, cfo), sf_idx, mats)
-
-    def run_i8_at(stream_p32, scales, B, start, sf0, cfo):
-        """Device-resident stream ingest: slice batch [start, start+B) out
-        of the packed-int8 stream ON DEVICE.  The whole stream is H2D-put
-        once per run (async, overlapping compute); per-batch host->device
-        argument transfers — which on the axon tunnel cost 10-100x a bulk
-        device_put — disappear from the steady-state loop."""
-        return _run_i8_at_mats(stream_p32, scales, B, start, sf0, cfo, dft)
-
     def run(samples, sf_idx):
         x = np.asarray(samples)
         if np.iscomplexobj(x):
@@ -150,6 +135,5 @@ def make_frontend(cell: CellConfig):
     run.jitted_ri = run_ri
     run.jitted_i16 = run_i16
     run.jitted_i8 = run_i8
-    run.jitted_i8_at = run_i8_at
     run.jitted_i8c64 = run_i8c64
     return run

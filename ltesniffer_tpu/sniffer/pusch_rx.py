@@ -40,21 +40,6 @@ def make_ul_frontend(cell: CellConfig):
     def run_ri(samples_ri):
         return _run_ri_mats(samples_ri, dft)
 
-    @functools.partial(jax.jit, static_argnums=(2,))
-    def _run_i8_at_mats(stream_p32, scales, B, start, mats):
-        p = jax.lax.dynamic_slice_in_dim(stream_p32, start, B, axis=0)
-        sc = jax.lax.dynamic_slice_in_dim(scales, start, B, axis=0)
-        bytes_ = [((p >> (8 * k)) & 0xFF) for k in range(4)]
-        b = jnp.stack(bytes_, axis=-1)
-        b = ((b ^ 0x80) - 0x80).astype(jnp.float32)
-        x = b.reshape(B, p.shape[1], -1, 2) * sc[:, None, None, None]
-        return scfdma.demodulate_ul_ri(x, cell, mats=mats)
-
-    def run_i8_at(stream_p32, scales, B, start):
-        """Device-resident packed-int8 UL stream: slice batch [start,
-        start+B), unpack, demodulate (see `frontend.run_i8_at`)."""
-        return _run_i8_at_mats(stream_p32, scales, B, start, dft)
-
     @jax.jit
     def _run_i8c64_mats(chunk64, scales, mats):
         p = jax.lax.bitcast_convert_type(chunk64, jnp.int32)
@@ -78,7 +63,6 @@ def make_ul_frontend(cell: CellConfig):
         return run_ri(jnp.asarray(x))
 
     run.jitted_ri = run_ri
-    run.jitted_i8_at = run_i8_at
     run.jitted_i8c64 = run_i8c64
     return run
 
