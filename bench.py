@@ -46,6 +46,7 @@ MIMO_DCIS = int(os.environ.get("BENCH_MIMO_DCIS", "1"))
 BATCH = int(os.environ.get("BENCH_BATCH", "256"))
 UL_SF = int(os.environ.get("BENCH_UL_SF", "1024"))
 UL_GRANTS = int(os.environ.get("BENCH_UL_GRANTS", "8"))
+UL_BATCH = int(os.environ.get("BENCH_UL_BATCH", "256"))
 TURBO_ITERS = int(os.environ.get("BENCH_TURBO_ITERS", "2"))
 
 # synthesized-scenario disk cache: scenario encode is sample GENERATION
@@ -200,7 +201,7 @@ def run_ul_e2e(cell):
     def one_pass():
         # file-mode parity: cell preset, DECODE_MIB skipped
         # (`LTESniffer_Core.cc:239`) — the dual trace carries no PBCH
-        cfg = core.SnifferConfig(cell=cell, batch_size=min(BATCH, 128),
+        cfg = core.SnifferConfig(cell=cell, batch_size=UL_BATCH,
                                  acquire_sfn=False)
         c = core.LTESnifferCoreUL(cfg)
         t0 = time.perf_counter()
@@ -306,7 +307,7 @@ def _parallel_warmup(cell):
 
     def wm_ul():
         fe = pusch_rx.make_ul_frontend(cell)
-        B = min(BATCH, 128)
+        B = UL_BATCH
         with jax.enable_x64(True):
             st = jax.device_put(np.zeros((B, 1, cell.sf_len // 4),
                                          np.int64))
